@@ -1,0 +1,284 @@
+"""Hodgkin-Huxley neuron models (Pospischil-style kinetics).
+
+Parity target: /root/reference/src/ode/hodgkin_huxley.py (single- and
+multi-compartment, variants ``full`` D=8 / ``reduced-1`` D=7 / ``reduced-4``
+D=4; the reference in turn follows the DiffusionTempering Julia models).
+
+State layout (N=1, axis 1 holds channels): ``[V, m, h, n, p, q, r, u]``
+truncated to the variant's dimension. The initial state is parameter
+dependent: gating variables start at their steady-state values for V0
+(reference: src/ode/hodgkin_huxley.py:251-281).
+
+TPU-first deltas vs the reference:
+  * channel kinetics are written as vectorized helpers usable for scalars or
+    per-compartment vectors, so the multi-compartment RHS is a single
+    ``vmap`` over compartments instead of a ``lax.scan``
+    (reference: src/ode/hodgkin_huxley.py:391-395);
+  * the exponential-divided-by-expm1 rate expressions use ``jnp.expm1`` for
+    f32 robustness near the removable singularity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ode_uncertainty_tpu.models.base import ODEModel, Params
+
+_VARIANT_DIMS = {"full": 8, "reduced-1": 7, "reduced-4": 4}
+
+_SINGLE_DEFAULTS = dict(
+    C=1.0,
+    A=8.3e-5,
+    g_Na=25.0,
+    E_Na=53.0,
+    g_K=7.0,
+    E_K=-107.0,
+    g_leak=0.1,
+    E_leak=-70.0,
+    V_T=-60.0,
+    g_M=0.01,
+    tau_max=4e3,
+    g_L=0.01,
+    E_Ca=120.0,
+    g_T=0.01,
+    V_x=2.0,
+)
+
+
+# --- channel rate constants (alpha/beta), vectorized in V ------------------
+def _vtrap(x, scale):
+    """x / expm1(x / scale): numerically stable rate-law denominator."""
+    return x / jnp.expm1(x / scale)
+
+
+def alpha_m(v, v_t):
+    return 0.32 * _vtrap(-(v - v_t - 13.0), 4.0)
+
+
+def beta_m(v, v_t):
+    return 0.28 * _vtrap(v - v_t - 40.0, 5.0)
+
+
+def alpha_n(v, v_t):
+    return 0.032 * _vtrap(-(v - v_t - 15.0), 5.0)
+
+
+def beta_n(v, v_t):
+    return 0.5 * jnp.exp(-(v - v_t - 10.0) / 40.0)
+
+
+def alpha_h(v, v_t):
+    return 0.128 * jnp.exp(-(v - v_t - 17.0) / 18.0)
+
+
+def beta_h(v, v_t):
+    return 4.0 / (1.0 + jnp.exp(-(v - v_t - 40.0) / 5.0))
+
+
+def alpha_q(v):
+    return 0.055 * _vtrap(-(v + 27.0), 3.8)
+
+
+def beta_q(v):
+    return 0.94 * jnp.exp(-(v + 75.0) / 17.0)
+
+
+def alpha_r(v):
+    return 0.000457 * jnp.exp(-(v + 13.0) / 50.0)
+
+
+def beta_r(v):
+    return 0.0065 / (jnp.exp(-(v + 15.0) / 28.0) + 1.0)
+
+
+def tau_p(v, tau_max):
+    return tau_max / (3.3 * jnp.exp((v + 35.0) / 20.0) + jnp.exp(-(v + 35.0) / 20.0))
+
+
+def tau_u(v, v_x):
+    return (30.8 + 211.4 + jnp.exp((v + v_x + 113.2) / 5.0)) / (
+        3.7 * (1.0 + jnp.exp((v + v_x + 84.0) / 3.2))
+    )
+
+
+# --- steady states ----------------------------------------------------------
+def _inf(alpha, beta):
+    return alpha / (alpha + beta)
+
+
+def p_inf(v):
+    return 1.0 / (1.0 + jnp.exp(-(v + 35.0) / 10.0))
+
+
+def s_inf(v, v_x):
+    return 1.0 / (1.0 + jnp.exp(-(v + v_x + 57.0) / 6.2))
+
+
+def u_inf(v, v_x):
+    return 1.0 / (1.0 + jnp.exp((v + v_x + 81.0) / 4.0))
+
+
+def steady_state(v0, params: Params, variant: str) -> jax.Array:
+    """Channel steady states at voltage v0 -> [D] state vector."""
+    v_t = params["V_T"]
+    vals = [
+        v0,
+        _inf(alpha_m(v0, v_t), beta_m(v0, v_t)),
+        _inf(alpha_h(v0, v_t), beta_h(v0, v_t)),
+        _inf(alpha_n(v0, v_t), beta_n(v0, v_t)),
+        p_inf(v0),
+        _inf(alpha_q(v0), beta_q(v0)),
+        _inf(alpha_r(v0), beta_r(v0)),
+        u_inf(v0, params["V_x"]),
+    ]
+    return jnp.stack(vals[: _VARIANT_DIMS[variant]], axis=-1)
+
+
+# --- membrane currents -------------------------------------------------------
+def input_current(t):
+    """Square stimulus pulse, 210 pA for 10 <= t <= 90 (reference :52)."""
+    return jnp.where((t >= 10.0) & (t <= 90.0), 210.0 * 1e-6, 0.0)
+
+
+def _channel_derivs(t, s, params: Params, variant: str):
+    """RHS over one compartment's channel state vector s: [D] -> [D]."""
+    dim = _VARIANT_DIMS[variant]
+    v = s[0]
+    v_t = params["V_T"]
+
+    def gate(a, b, g):
+        return a * (1.0 - g) - b * g
+
+    dm = gate(alpha_m(v, v_t), beta_m(v, v_t), s[1])
+    dh = gate(alpha_h(v, v_t), beta_h(v, v_t), s[2])
+    dn = gate(alpha_n(v, v_t), beta_n(v, v_t), s[3])
+
+    i_na = params["g_Na"] * s[1] ** 3 * s[2] * (params["E_Na"] - v)
+    i_k = params["g_K"] * s[3] ** 4 * (params["E_K"] - v)
+    i_leak = params["g_leak"] * (params["E_leak"] - v)
+    total = i_na + i_k + i_leak
+
+    derivs = [dm, dh, dn]
+    if dim >= 7:
+        dp = (p_inf(v) - s[4]) / tau_p(v, params["tau_max"])
+        dq = gate(alpha_q(v), beta_q(v), s[5])
+        dr = gate(alpha_r(v), beta_r(v), s[6])
+        derivs += [dp, dq, dr]
+        total = total + params["g_M"] * s[4] * (params["E_K"] - v)
+        total = total + params["g_L"] * s[5] ** 2 * s[6] * (params["E_Ca"] - v)
+    if dim == 8:
+        du = (u_inf(v, params["V_x"]) - s[7]) / tau_u(v, params["V_x"])
+        derivs.append(du)
+        total = total + (
+            params["g_T"] * s_inf(v, params["V_x"]) ** 2 * s[7] * (params["E_Ca"] - v)
+        )
+
+    dv = (total + input_current(t) / params["A"]) / params["C"]
+    return jnp.stack([dv] + derivs, axis=-1)
+
+
+def hodgkin_huxley(variant: str = "reduced-1", **overrides: float) -> ODEModel:
+    """Single-compartment Hodgkin-Huxley model (N=1, D=8/7/4)."""
+    if variant not in _VARIANT_DIMS:
+        raise ValueError(f"Unknown Hodgkin-Huxley variant: {variant!r}")
+    dim = _VARIANT_DIMS[variant]
+    defaults = dict(_SINGLE_DEFAULTS)
+    for k, v in overrides.items():
+        if k not in defaults:
+            raise KeyError(f"Unknown Hodgkin-Huxley parameter {k!r}")
+        defaults[k] = v
+    params = {k: jnp.asarray(v) for k, v in defaults.items()}
+
+    def rhs(t, y, p):
+        return _channel_derivs(t, y[0], p, variant)[None, :]
+
+    def initial_value(x0, p):
+        return steady_state(x0[0, 0], p, variant)[None, :]
+
+    return ODEModel(
+        f"hodgkin_huxley_{variant}", 1, dim, rhs, params, initial_value_fn=initial_value
+    )
+
+
+def multi_compartment_hodgkin_huxley(
+    variant: str = "reduced-1",
+    num_compartments: int = 2,
+    coupling_coeffs=(1.0,),
+    C: float = 1.0,
+    **per_compartment: list,
+) -> ODEModel:
+    """Multi-compartment Hodgkin-Huxley (N=1, D = num_compartments * dim).
+
+    Compartments are coupled through a tridiagonal conductance matrix G built
+    from ``coupling_coeffs`` (length num_compartments - 1); the coupling term
+    ``G @ V / C`` is added to each compartment's dV/dt
+    (reference: src/ode/hodgkin_huxley.py:374-396).
+
+    Per-compartment parameters are vectors of length ``num_compartments``
+    (scalar inputs are broadcast); the compartment axis is evaluated with
+    ``vmap`` over the single-compartment RHS.
+    """
+    if variant not in _VARIANT_DIMS:
+        raise ValueError(f"Unknown Hodgkin-Huxley variant: {variant!r}")
+    dim = _VARIANT_DIMS[variant]
+    ncomp = num_compartments
+
+    defaults: Dict[str, jax.Array] = {
+        "coupling_coeffs": jnp.asarray(coupling_coeffs, dtype=jnp.result_type(float))[None, :],
+        "C": jnp.asarray([C], dtype=jnp.result_type(float)),
+    }
+    for k, dv in _SINGLE_DEFAULTS.items():
+        if k == "C":
+            continue
+        v = per_compartment.get(k, dv)
+        arr = jnp.asarray(v, dtype=jnp.result_type(float))
+        defaults[k] = jnp.broadcast_to(jnp.atleast_1d(arr), (ncomp,))
+    unknown = set(per_compartment) - set(_SINGLE_DEFAULTS)
+    if unknown:
+        raise KeyError(f"Unknown Hodgkin-Huxley parameters: {sorted(unknown)}")
+
+    def _coupling_matrix(coeffs):
+        """Tridiagonal G: off-diagonals +c_i, diagonal -(sum of incident c)."""
+        off = jnp.diag(coeffs, k=1) + jnp.diag(coeffs, k=-1)
+        deg = jnp.zeros(ncomp, dtype=coeffs.dtype)
+        deg = deg.at[:-1].add(coeffs).at[1:].add(coeffs)
+        return off - jnp.diag(deg)
+
+    def _per_comp_params(p: Params) -> Params:
+        out = {}
+        for k in _SINGLE_DEFAULTS:
+            if k == "C":
+                out[k] = jnp.broadcast_to(p["C"], (ncomp,))
+            else:
+                out[k] = jnp.broadcast_to(p[k], (ncomp,))
+        return out
+
+    def rhs(t, y, p):
+        states = y.reshape(ncomp, dim)  # [C, D]
+        comp_params = _per_comp_params(p)
+        d_states = jax.vmap(lambda s, pc: _channel_derivs(t, s, pc, variant))(
+            states, comp_params
+        )  # [C, D]
+        g = _coupling_matrix(p["coupling_coeffs"][0])
+        v_coupled = g @ states[:, 0]  # [C]
+        d_states = d_states.at[:, 0].add(v_coupled / p["C"][0])
+        return d_states.reshape(1, ncomp * dim)
+
+    def initial_value(x0, p):
+        # x0: [1, C] initial voltages, one per compartment.
+        v0 = jnp.broadcast_to(x0[0], (ncomp,))
+        comp_params = _per_comp_params(p)
+        states = jax.vmap(lambda v, pc: steady_state(v, pc, variant))(v0, comp_params)
+        return states.reshape(1, ncomp * dim)
+
+    return ODEModel(
+        f"hodgkin_huxley_{variant}_x{ncomp}",
+        1,
+        ncomp * dim,
+        rhs,
+        defaults,
+        initial_value_fn=initial_value,
+    )

@@ -1,0 +1,152 @@
+"""Square-root kernel unit tests vs dense linear-algebra recomputation
+(mirrors /root/reference/tests/test_utils.py and extends it: batched paths,
+KL with unequal covariances, pushforward vs dense Jacobian)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+from ode_uncertainty_tpu import ops
+
+
+def _rand_chol(key, n):
+    a = random.normal(key, (n, n))
+    return jnp.linalg.cholesky(a @ a.T + n * jnp.eye(n))
+
+
+def test_sqrt_sum_two_factors():
+    k1, k2 = random.split(random.key(7))
+    a = random.normal(k1, (10, 10))
+    b = _rand_chol(k2, 10)
+    l = ops.sqrt_sum(a, b)
+    np.testing.assert_allclose(
+        np.asarray(l @ l.T), np.asarray(a @ a.T + b @ b.T), rtol=1e-10, atol=1e-10
+    )
+    # result is lower-triangular
+    np.testing.assert_allclose(np.asarray(jnp.triu(l, 1)), 0.0, atol=1e-12)
+
+
+def test_sqrt_sum_three_factors():
+    keys = random.split(random.key(3), 3)
+    fs = [random.normal(k, (6, 6)) for k in keys]
+    l = ops.sqrt_sum(*fs)
+    expected = sum(np.asarray(f @ f.T) for f in fs)
+    np.testing.assert_allclose(np.asarray(l @ l.T), expected, rtol=1e-10, atol=1e-10)
+
+
+def test_sqrt_sum_zero_factor():
+    l0 = _rand_chol(random.key(0), 5)
+    l = ops.sqrt_sum(l0, jnp.zeros((5, 5)))
+    np.testing.assert_allclose(np.asarray(l @ l.T), np.asarray(l0 @ l0.T), rtol=1e-10)
+
+
+def test_sqrt_sum_batched():
+    keys = random.split(random.key(5), 8)
+    a = jnp.stack([random.normal(k, (4, 4)) for k in keys])
+    b = jnp.broadcast_to(jnp.eye(4) * 0.3, (8, 4, 4))
+    l = ops.sqrt_sum(a, b)
+    assert l.shape == (8, 4, 4)
+    want = np.einsum("bij,bkj->bik", np.asarray(a), np.asarray(a)) + 0.09 * np.eye(4)
+    np.testing.assert_allclose(np.einsum("bij,bkj->bik", np.asarray(l), np.asarray(l)), want, rtol=1e-9)
+
+
+def test_nll_gaussian_sqrt_vs_scipy():
+    from jax.scipy.stats import multivariate_normal
+
+    key = random.key(11)
+    x = random.normal(key, (10,))
+    m = jnp.zeros(10)
+    chol = _rand_chol(random.key(4), 10)
+    got = ops.nll_gaussian_sqrt(x, m, chol)
+    want = -multivariate_normal.logpdf(x, m, chol @ chol.T)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
+def test_nll_with_sign_indefinite_factor():
+    """sqrt_sum factors may have negative diagonal entries; the NLL must be
+    invariant to column signs."""
+    chol = _rand_chol(random.key(4), 6)
+    signs = jnp.diag(jnp.array([1.0, -1.0, 1.0, -1.0, -1.0, 1.0]))
+    x = random.normal(random.key(2), (6,))
+    a = ops.nll_gaussian_sqrt(x, jnp.zeros(6), chol)
+    b = ops.nll_gaussian_sqrt(x, jnp.zeros(6), chol @ signs)
+    # chol @ signs is no longer triangular-with-positive-diag but still
+    # lower-triangular up to sign; same covariance.
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-10)
+
+
+def test_pdf_gaussian_sqrt():
+    from jax.scipy.stats import multivariate_normal
+
+    x = random.normal(random.key(1), (7,))
+    m = random.normal(random.key(2), (7,))
+    chol = _rand_chol(random.key(3), 7)
+    np.testing.assert_allclose(
+        float(ops.pdf_gaussian_sqrt(x, m, chol)),
+        float(multivariate_normal.pdf(x, m, chol @ chol.T)),
+        rtol=1e-9,
+    )
+
+
+def test_kl_gaussian_sqrt_vs_dense():
+    m1 = random.normal(random.key(1), (5,))
+    m2 = random.normal(random.key(2), (5,))
+    s1 = _rand_chol(random.key(3), 5)
+    s2 = _rand_chol(random.key(4), 5)
+    got = ops.kl_gaussian_sqrt(m1, m2, s1, s2)
+    p1 = np.asarray(s1 @ s1.T)
+    p2 = np.asarray(s2 @ s2.T)
+    p2_inv = np.linalg.inv(p2)
+    d = np.asarray(m2 - m1)
+    want = 0.5 * (
+        np.log(np.linalg.det(p2) / np.linalg.det(p1))
+        - 5
+        + d @ p2_inv @ d
+        + np.trace(p2_inv @ p1)
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+    # Jeffrey divergence is symmetric
+    j12 = ops.jeffrey_gaussian_sqrt(m1, m2, s1, s2)
+    j21 = ops.jeffrey_gaussian_sqrt(m2, m1, s2, s1)
+    np.testing.assert_allclose(float(j12), float(j21), rtol=1e-8)
+
+
+def test_push_sqrt_matches_dense_jacobian():
+    def f(x):
+        return jnp.sin(x) * x[::-1] + 0.1 * x**2, jnp.abs(x)
+
+    x = random.normal(random.key(9), (6,))
+    p = _rand_chol(random.key(10), 6)
+    (y, aux), jp = ops.push_sqrt(f, x, p)
+    jac = jax.jacfwd(lambda z: f(z)[0])(x)
+    np.testing.assert_allclose(np.asarray(jp), np.asarray(jac @ p), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(f(x)[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux), np.asarray(jnp.abs(x)), rtol=1e-12)
+
+
+def test_sync_times():
+    ts_x = np.arange(1, 11) * 0.01
+    ts_y = np.array([0.05, 0.1, 0.2])  # 0.2 beyond grid
+    x_idx, y_idx = ops.sync_times(ts_x, ts_y)
+    np.testing.assert_array_equal(x_idx, [4, 9])
+    np.testing.assert_array_equal(y_idx, [0, 1])
+
+
+def test_build_observation_maps():
+    ts_y = np.array([0.1, 0.2, 0.3])
+    flags, index_map = ops.build_observation_maps(0.0, 0.05, 8, ts_y)
+    # steps land at 0.05,0.10,...,0.40 -> obs at steps 1, 3, 5
+    np.testing.assert_array_equal(np.nonzero(flags)[0], [1, 3, 5])
+    np.testing.assert_array_equal(index_map[[1, 3, 5]], [0, 1, 2])
+
+
+def test_normalize_roundtrip():
+    vals = {"a": jnp.array([1.0, 2.0]), "b": jnp.array(5.0)}
+    mins = {"a": jnp.array([0.0, 0.0]), "b": jnp.array(0.0)}
+    maxs = {"a": jnp.array([4.0, 4.0]), "b": jnp.array(10.0)}
+    n = ops.normalize(vals, mins, maxs)
+    np.testing.assert_allclose(np.asarray(n["a"]), [0.25, 0.5])
+    np.testing.assert_allclose(float(n["b"]), 0.5)
+    back = ops.inv_normalize(n, mins, maxs)
+    np.testing.assert_allclose(np.asarray(back["a"]), [1.0, 2.0])
