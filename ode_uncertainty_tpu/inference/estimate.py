@@ -1,0 +1,118 @@
+"""Tempered maximum-likelihood parameter estimation.
+
+The reference's centerpiece (scripts/run_parameter_estimation.py:optimize)
+re-architected for TPUs:
+
+  reference                           this framework
+  ------------------------------      ------------------------------------
+  p_umap over spawned processes,      one jitted program: restarts are a
+  one scipy L-BFGS-B per restart      vmapped axis of an on-device L-BFGS
+  Python loop over tempering          lax.scan over a traced gamma vector
+  stages, re-jitting + cache          (zero recompiles across stages)
+  clearing per stage
+  results pickled back per worker     dense [R, S, P] result tensors
+
+The whole (restarts x stages) sweep is one XLA program; sharding the restart
+axis over a device mesh scales it to a pod slice (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ode_uncertainty_tpu.inference.lbfgs import lbfgs_box
+from ode_uncertainty_tpu.inference.params import ParamSpec
+
+
+class EstimationResult(NamedTuple):
+    """Result tensors (H5-schema compatible with the reference, §2.6)."""
+
+    params_inits: jax.Array  # [R, P_opt] physical initial params
+    params_optims: jax.Array  # [R, S, P_opt] physical optima per stage
+    nll_optims: jax.Array  # [R, S]
+    num_lbfgs_iters: jax.Array  # [R, S]
+    num_nll_evals: jax.Array  # [R, S]
+    gammas: jax.Array  # [S]
+
+
+def make_tempered_estimator(
+    nll: Callable,
+    spec: ParamSpec,
+    q_sqrt: jax.Array,
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    history: int = 10,
+):
+    """Builds the batched tempered estimator.
+
+    Args:
+        nll: ``(p_norm_opt [P_opt], q_sqrt, gamma_sqrt) -> []`` (from
+            :func:`ode_uncertainty_tpu.inference.nll.make_nll`).
+        q_sqrt: [n, n] process-noise sqrt structure (gamma scales it).
+
+    Returns:
+        jitted ``estimate(p0_norm [R, P_opt], gammas [S]) -> EstimationResult``.
+    """
+
+    def run_one(p0_norm, gammas):
+        def stage(p, gamma):
+            res = lbfgs_box(
+                lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)),
+                p,
+                0.0,
+                1.0,
+                max_iter=max_iter,
+                tol=tol,
+                history=history,
+            )
+            return res.x, (res.x, res.f, res.iters, res.n_fev)
+
+        _, (xs, fs, iters, fevs) = lax.scan(stage, p0_norm, gammas)
+        return xs, fs, iters, fevs
+
+    @jax.jit
+    def estimate(p0_norm: jax.Array, gammas: jax.Array) -> EstimationResult:
+        xs, fs, iters, fevs = jax.vmap(run_one, in_axes=(0, None))(p0_norm, gammas)
+        return EstimationResult(
+            params_inits=spec.opt_to_physical(p0_norm),
+            params_optims=spec.opt_to_physical(xs),
+            nll_optims=fs,
+            num_lbfgs_iters=iters,
+            num_nll_evals=fevs,
+            gammas=gammas,
+        )
+
+    return estimate
+
+
+def make_nll_landscape(nll: Callable, q_sqrt: jax.Array, batch_size: int = 256):
+    """NLL grid evaluation (parity: run_parameter_estimation.py:evaluate).
+
+    Returns ``landscape(p_norm_grid [G, P_opt], gammas [S]) -> [S, G]``.
+    The reference loops the grid in Python, one jitted call per point
+    (:491); here the grid is a vmapped axis evaluated in chunks.
+    """
+
+    @jax.jit
+    def eval_batch(p_batch, gamma):
+        return jax.vmap(lambda p: nll(p, q_sqrt, jnp.sqrt(gamma)))(p_batch)
+
+    def landscape(p_norm_grid: jax.Array, gammas) -> jax.Array:
+        g = p_norm_grid.shape[0]
+        pad = (-g) % batch_size
+        padded = jnp.concatenate(
+            [p_norm_grid, jnp.zeros((pad, p_norm_grid.shape[1]), p_norm_grid.dtype)]
+        )
+        chunks = padded.reshape(-1, batch_size, p_norm_grid.shape[1])
+        rows = []
+        for gamma in gammas:
+            vals = jnp.concatenate([eval_batch(c, gamma) for c in chunks])[:g]
+            rows.append(vals)
+        return jnp.stack(rows)
+
+    return landscape

@@ -1,0 +1,149 @@
+"""Filter negative log-likelihood of ODE parameters.
+
+The estimation objective: run the square-root EKF over the full time grid
+with the candidate parameters and sum the innovation Gaussian NLL at every
+observation (parity: /root/reference/scripts/run_parameter_estimation.py:
+685-796). Differentiated end-to-end by JAX (through the solver linearization,
+QR factorizations and ``lax.cond``s) for the on-device L-BFGS.
+
+TPU-first notes:
+  * ``gamma_sqrt``/``q_sqrt`` are traced arguments — one compilation serves
+    every tempering stage (the reference recompiles per stage and clears the
+    jit cache, run_parameter_estimation.py:656);
+  * optional ``jax.checkpoint`` on the scan body bounds the grad-pass memory
+    for very long horizons (1e5+ steps) at the cost of one extra forward.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ode_uncertainty_tpu.filters.sqrt_ekf import EKFState, SqrtEKF
+from ode_uncertainty_tpu.inference.observations import ObsModel
+from ode_uncertainty_tpu.inference.params import ParamSpec
+from ode_uncertainty_tpu.models.base import ODEModel
+from ode_uncertainty_tpu.ops.sqrt_linalg import nll_gaussian_sqrt
+
+
+def make_nll(
+    model: ODEModel,
+    solver,
+    ekf: SqrtEKF,
+    spec: ParamSpec,
+    obs: ObsModel,
+    state0: EKFState,
+    num_steps: int,
+    x0_raw: Optional[jax.Array] = None,
+    initial_state_parametrized: bool = False,
+    parameter_sensitivity: bool = False,
+    remat: bool = False,
+) -> Callable:
+    """Returns ``nll(p_norm_opt [P_opt], q_sqrt [n, n], gamma_sqrt []) -> []``.
+
+    Args:
+        state0: initial filter state (closed over; its ``x`` is rebuilt from
+            ``x0_raw`` when ``initial_state_parametrized``).
+        parameter_sensitivity: derive per-state process-noise weights from
+            the solver's parameter Jacobian at the initial state (parity:
+            run_parameter_estimation.py:760-769).
+        remat: checkpoint the scan body (memory/compute tradeoff for grads).
+    """
+    predict = ekf.make_predict(solver, model.rhs)
+    correct = ekf.make_correct()
+    n = state0.x.size
+
+    def nll(p_norm_opt: jax.Array, q_sqrt: jax.Array, gamma_sqrt: jax.Array) -> jax.Array:
+        params = spec.to_params(p_norm_opt)
+
+        s0 = state0
+        if initial_state_parametrized:
+            if x0_raw is None:
+                raise ValueError("initial_state_parametrized requires x0_raw")
+            s0 = s0.replace(x=model.build_initial_value(x0_raw, params).astype(s0.x.dtype))
+
+        if parameter_sensitivity:
+            # Process-noise weights ~ |d x_next / d theta| summed over the
+            # optimized parameters, normalized to sqrt(n) RMS.
+            flat0 = spec.flatten(params)
+
+            def step_of_params(pf):
+                p = spec.unflatten(pf)
+                x_next, _ = solver.step(model.rhs, p, s0.t, s0.x)
+                return x_next.reshape(n)
+
+            jac = jax.jacfwd(step_of_params)(flat0)  # [n, P_full]
+            mask = spec.opt_mask_full().astype(jac.dtype)
+            w = jnp.sum(jnp.abs(jac) * mask[None, :], axis=1)  # [n]
+            w = (n**0.5) * w / jnp.linalg.norm(w)
+            q_sqrt_eff = jnp.diag(w)
+        else:
+            q_sqrt_eff = q_sqrt
+
+        def step(state, idx):
+            state = predict(state, params, q_sqrt_eff, gamma_sqrt)
+            y = obs.ys[obs.index_map[idx]]
+
+            def do_correct(s):
+                s2 = correct(s, obs.H, y, obs.R_sqrt)
+                return s2, nll_gaussian_sqrt(y, s2.y_hat, s2.S_sqrt)
+
+            def no_correct(s):
+                return s, jnp.zeros((), state.x.dtype)
+
+            return lax.cond(obs.flags[idx], do_correct, no_correct, state)
+
+        body = jax.checkpoint(step) if remat else step
+        _, nlgs = lax.scan(body, s0, jnp.arange(num_steps))
+        return jnp.sum(nlgs)
+
+    return nll
+
+
+def make_baseline_nll(
+    model: ODEModel,
+    solver,
+    spec: ParamSpec,
+    obs: ObsModel,
+    t0,
+    x0: jax.Array,
+    num_steps: int,
+    x0_raw: Optional[jax.Array] = None,
+    initial_state_parametrized: bool = False,
+) -> Callable:
+    """Filter-free trajectory-fitting NLL (classic least-squares baseline,
+    parity: scripts/run_parameter_estimation_baseline.py:552-632): integrate
+    the ODE deterministically and score observations under fixed noise R.
+
+    Returns ``nll(p_norm_opt) -> []``.
+    """
+
+    def nll(p_norm_opt: jax.Array) -> jax.Array:
+        params = spec.to_params(p_norm_opt)
+        x_init = x0
+        if initial_state_parametrized:
+            if x0_raw is None:
+                raise ValueError("initial_state_parametrized requires x0_raw")
+            x_init = model.build_initial_value(x0_raw, params).astype(x0.dtype)
+
+        t0_arr = jnp.asarray(t0, x0.dtype)
+
+        def step(x, idx):
+            t = t0_arr + idx * solver.h
+            x_next, _ = solver.step(model.rhs, params, t, x)
+            y = obs.ys[obs.index_map[idx]]
+
+            def score(_):
+                y_hat = obs.H @ x_next.reshape(-1)
+                return nll_gaussian_sqrt(y, y_hat, obs.R_sqrt)
+
+            nlg = lax.cond(obs.flags[idx], score, lambda _: jnp.zeros((), x0.dtype), None)
+            return x_next, nlg
+
+        _, nlgs = lax.scan(step, x_init, jnp.arange(num_steps))
+        return jnp.sum(nlgs)
+
+    return nll

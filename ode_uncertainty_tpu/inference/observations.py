@@ -1,0 +1,80 @@
+"""Observation model bundle for filtering and estimation.
+
+Packs the measurement matrix, measurement noise, projected observations and
+the per-step alignment arrays into one pytree (the reference threads five
+separate arrays through every function; scripts/run_filter.py:97-123).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ode_uncertainty_tpu.ops.align import build_observation_maps
+from ode_uncertainty_tpu.ops.sqrt_linalg import const_diag
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ObsModel:
+    """Observations aligned to the solver's step grid.
+
+    Attributes:
+        H: [L, n] measurement matrix (n = flat state size).
+        R_sqrt: [L, L] observation-noise sqrt.
+        ys: [T_obs, L] projected observations (H applied).
+        flags: [num_steps] bool, step has an observation.
+        index_map: [num_steps] int32, step -> observation row.
+    """
+
+    H: jax.Array
+    R_sqrt: jax.Array
+    ys: jax.Array
+    flags: jax.Array
+    index_map: jax.Array
+
+    @property
+    def obs_dim(self) -> int:
+        return self.H.shape[0]
+
+
+def make_obs_model(
+    H,
+    ts_y,
+    ys_raw,
+    obs_noise_var: float,
+    t0: float,
+    step_size: float,
+    num_steps: int,
+    dtype=jnp.float32,
+) -> ObsModel:
+    """Builds an :class:`ObsModel` from raw observation data.
+
+    ys_raw: [T_obs, ...] raw states; projected through H after flattening
+    trailing dims (parity: run_filter.py:112, ys = einsum('ij,tj->ti')).
+    """
+    H = jnp.asarray(H, dtype)
+    ys_flat = jnp.asarray(ys_raw, dtype).reshape(len(ts_y), -1)
+    ys = ys_flat @ H.T
+    flags, index_map = build_observation_maps(t0, step_size, num_steps, np.asarray(ts_y))
+    return ObsModel(
+        H=H,
+        R_sqrt=const_diag(H.shape[0], obs_noise_var**0.5, dtype),
+        ys=ys,
+        flags=jnp.asarray(flags),
+        index_map=jnp.asarray(index_map),
+    )
+
+
+def empty_obs_model(n: int, num_steps: int, dtype=jnp.float32) -> ObsModel:
+    """Prediction-only mode: no observations, no corrections."""
+    return ObsModel(
+        H=jnp.eye(n, dtype=dtype),
+        R_sqrt=jnp.zeros((n, n), dtype),
+        ys=jnp.zeros((1, n), dtype),
+        flags=jnp.zeros(num_steps, dtype=bool),
+        index_map=jnp.zeros(num_steps, dtype=jnp.int32),
+    )
