@@ -27,8 +27,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # steps per NLL eval; reference config scale: configs/params/lotkavolterra2).
 NUM_STEPS = 2000
 H = 0.01
-BATCH = 128  # restarts per batched eval on TPU
-TPU_REPS = 10
+BATCH = 8192  # restarts per batched eval on TPU
+TPU_REPS = 5
 CPU_REPS = 3
 
 

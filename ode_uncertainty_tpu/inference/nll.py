@@ -41,6 +41,7 @@ def make_nll(
     initial_state_parametrized: bool = False,
     parameter_sensitivity: bool = False,
     remat: bool = False,
+    chunk_size: Optional[int] = None,
 ) -> Callable:
     """Returns ``nll(p_norm_opt [P_opt], q_sqrt [n, n], gamma_sqrt []) -> []``.
 
@@ -50,7 +51,14 @@ def make_nll(
         parameter_sensitivity: derive per-state process-noise weights from
             the solver's parameter Jacobian at the initial state (parity:
             run_parameter_estimation.py:760-769).
-        remat: checkpoint the scan body (memory/compute tradeoff for grads).
+        remat: checkpoint every scan step (max memory saving, 2x compute).
+        chunk_size: if set (or by default for long horizons), the time loop
+            runs as scan-over-chunks with ``jax.checkpoint`` at chunk
+            boundaries. This is the memory fix that matters on TPU: the
+            backward pass otherwise stores [T, batch, n, n] residual stacks
+            whose tiny minor dims pad up to 64x in HBM tiles (observed OOM
+            at batch 2048 x 2000 steps on v5e). sqrt(T) chunking reduces
+            residual storage from O(T) to O(sqrt(T)) such stacks.
     """
     predict = ekf.make_predict(solver, model.rhs)
     correct = ekf.make_correct()
@@ -97,6 +105,30 @@ def make_nll(
             return lax.cond(obs.flags[idx], do_correct, no_correct, state)
 
         body = jax.checkpoint(step) if remat else step
+
+        chunk = chunk_size
+        if chunk is None and num_steps >= 256 and not remat:
+            chunk = max(16, int(round(num_steps**0.5)))
+        if chunk and chunk > 1 and num_steps >= 2 * chunk:
+            n_chunks, rem = divmod(num_steps, chunk)
+
+            @jax.checkpoint
+            def chunk_body(state, chunk_idx):
+                def inner(s, i):
+                    return body(s, chunk_idx * chunk + i)
+
+                s, nl = lax.scan(inner, state, jnp.arange(chunk))
+                return s, jnp.sum(nl)
+
+            s_end, chunk_sums = lax.scan(chunk_body, s0, jnp.arange(n_chunks))
+            total = jnp.sum(chunk_sums)
+            if rem:
+                _, tail = lax.scan(
+                    body, s_end, n_chunks * chunk + jnp.arange(rem)
+                )
+                total = total + jnp.sum(tail)
+            return total
+
         _, nlgs = lax.scan(body, s0, jnp.arange(num_steps))
         return jnp.sum(nlgs)
 

@@ -17,6 +17,17 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, solve_triangular
 
+from ode_uncertainty_tpu.ops.small_qr import qr_r_small, use_unrolled
+
+
+def _r_factor(stacked: jax.Array) -> jax.Array:
+    """R of a thin QR; unrolled Householder for small static shapes (TPU
+    hot path), generic QR otherwise."""
+    m, n = stacked.shape[-2], stacked.shape[-1]
+    if use_unrolled(m, n):
+        return qr_r_small(stacked)
+    return jnp.linalg.qr(stacked, mode="r")
+
 
 def sqrt_sum(*factors: jax.Array) -> jax.Array:
     """Lower-triangular L with L L^T = sum_i F_i F_i^T, via one economy QR.
@@ -30,14 +41,12 @@ def sqrt_sum(*factors: jax.Array) -> jax.Array:
         [..., n, n] sqrt factor (lower-triangular up to column signs).
     """
     stacked = jnp.concatenate([jnp.swapaxes(f, -1, -2) for f in factors], axis=-2)
-    r = jnp.linalg.qr(stacked, mode="r")
-    return jnp.swapaxes(r, -1, -2)
+    return jnp.swapaxes(_r_factor(stacked), -1, -2)
 
 
 def tria(a: jax.Array) -> jax.Array:
     """Lower-triangular sqrt factor of ``a @ a.T`` for a single wide factor."""
-    r = jnp.linalg.qr(jnp.swapaxes(a, -1, -2), mode="r")
-    return jnp.swapaxes(r, -1, -2)
+    return jnp.swapaxes(_r_factor(jnp.swapaxes(a, -1, -2)), -1, -2)
 
 
 def nll_gaussian_sqrt(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array:

@@ -150,3 +150,46 @@ def test_normalize_roundtrip():
     np.testing.assert_allclose(float(n["b"]), 0.5)
     back = ops.inv_normalize(n, mins, maxs)
     np.testing.assert_allclose(np.asarray(back["a"]), [1.0, 2.0])
+
+
+def test_qr_r_small_matches_lapack():
+    from ode_uncertainty_tpu.ops.small_qr import qr_r_small
+
+    for (m, n) in [(4, 2), (6, 3), (16, 8), (24, 8), (3, 3)]:
+        a = random.normal(random.key(m * 100 + n), (5, m, n))
+        r1 = qr_r_small(a)
+        r2 = jnp.linalg.qr(a, mode="r")
+        # upper-triangular
+        np.testing.assert_allclose(np.asarray(jnp.tril(r1, -1)), 0.0, atol=1e-12)
+        # same Gram matrix (R is unique up to row signs)
+        g1 = np.einsum("bji,bjk->bik", np.asarray(r1), np.asarray(r1))
+        g2 = np.einsum("bji,bjk->bik", np.asarray(r2), np.asarray(r2))
+        np.testing.assert_allclose(g1, g2, rtol=1e-9, atol=1e-9)
+
+
+def test_qr_r_small_zero_and_rank_deficient():
+    from ode_uncertainty_tpu.ops.small_qr import qr_r_small
+
+    z = jnp.zeros((4, 3))
+    np.testing.assert_allclose(np.asarray(qr_r_small(z)), 0.0, atol=1e-12)
+    # rank-1 matrix
+    v = jnp.array([1.0, 2.0, 3.0, 4.0])[:, None]
+    a = v @ jnp.array([[1.0, 2.0]])
+    r = qr_r_small(a)
+    g = np.asarray(r.T @ r)
+    np.testing.assert_allclose(g, np.asarray(a.T @ a), rtol=1e-10, atol=1e-10)
+
+
+def test_qr_r_small_differentiable():
+    from ode_uncertainty_tpu.ops.small_qr import qr_r_small
+
+    a = random.normal(random.key(0), (6, 3))
+
+    def f(x):
+        r = qr_r_small(x)
+        return jnp.sum(r**2)
+
+    g = jax.grad(f)(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # grad of sum(R^2) = grad of sum of squared entries = grad tr(A^T A) = 2A
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * a), rtol=1e-8)
