@@ -1,0 +1,186 @@
+"""Tempered ODE parameter estimation (the framework's centerpiece).
+
+Equivalent of the reference's scripts/run_parameter_estimation.py, with the
+process pool and the scipy L-BFGS-B host round-trip replaced by one batched
+on-device program (inference/estimate.py). Subcommands:
+
+  optimize  — tempered MLE from random restarts; H5 schema matches the
+              reference (params_inits/optims, nll_optims, iteration counters)
+  evaluate  — NLL landscape over a parameter grid per tempering stage
+
+Usage:
+  python run_parameter_estimation.py optimize --experiment params/lotkavolterra2
+  python run_parameter_estimation.py evaluate --config cfg.yaml --set num_random_runs=512
+"""
+
+import time
+
+import numpy as np
+from _common import build_p0_sqrt, build_x0, load_observations, num_steps_of, setup_precision
+
+from ode_uncertainty_tpu.utils.config import config_cli, parse_literal
+
+# Restart batches beyond this are processed in sequential host chunks (very
+# wide vmapped while-loops can exceed runtime limits on some TPU stacks).
+RESTART_CHUNK = 512
+
+
+def _build_rig(cfg, dtype):
+    import jax.numpy as jnp
+
+    from ode_uncertainty_tpu.inference import make_nll, make_param_spec
+
+    model = cfg["ode_builder"]
+    solver = cfg["solver_builder"]
+    ekf = cfg["filter_builder"]
+    num_steps = num_steps_of(cfg, solver)
+    x0_raw, x0 = build_x0(cfg, model, dtype)
+    n = x0.size
+    obs, has_obs = load_observations(cfg, solver, num_steps, n, dtype)
+    if not has_obs:
+        raise ValueError("Estimation requires y_path and measurement_matrix")
+
+    spec = make_param_spec(
+        model.params, cfg["params_range"], cfg.get("params_optimized"), dtype=dtype
+    )
+    p0_sqrt = build_p0_sqrt(cfg, n, dtype)
+    state0 = ekf.init_state(cfg.get("t0", 0.0), x0, p0_sqrt, obs.obs_dim)
+    nll = make_nll(
+        model,
+        solver,
+        ekf,
+        spec,
+        obs,
+        state0,
+        num_steps,
+        x0_raw=x0_raw,
+        initial_state_parametrized=cfg.get("initial_state_parametrized", False),
+        parameter_sensitivity=cfg.get("parameter_sensitivity", False),
+    )
+    w = jnp.asarray(parse_literal(cfg["gamma_noise_weights"]), dtype)
+    q_sqrt = jnp.diag(w)
+    return model, solver, spec, ekf, obs, state0, nll, q_sqrt, num_steps
+
+
+def _gammas(cfg, dtype):
+    import jax.numpy as jnp
+
+    sched = cfg["gamma_noise_schedule"]
+    return sched.gammas(
+        cfg.get("num_tempering_stages", 10), cfg.get("final_gamma_zero", True)
+    ).astype(dtype)
+
+
+def _initial_restarts(cfg, spec, dtype):
+    import jax
+
+    runs = cfg.get("num_random_runs", 0)
+    if runs > 0:
+        return spec.sample_norm(jax.random.key(cfg.get("seed", 7)), runs).astype(dtype)
+    return spec.defaults_norm_opt().astype(dtype)[None, :]
+
+
+def optimize(cfg) -> None:
+    dtype = setup_precision(cfg)
+    import jax
+    import jax.numpy as jnp
+
+    from ode_uncertainty_tpu.inference import make_tempered_estimator
+    from ode_uncertainty_tpu.utils.io import store_data
+
+    model, solver, spec, ekf, obs, state0, nll, q_sqrt, num_steps = _build_rig(cfg, dtype)
+    gammas = _gammas(cfg, dtype)
+    p0 = _initial_restarts(cfg, spec, dtype)
+
+    estimate = make_tempered_estimator(
+        nll,
+        spec,
+        q_sqrt,
+        max_iter=cfg.get("lbfgs_maxiter", 200),
+        tol=cfg.get("lbfgs_tol", 1e-4),
+    )
+
+    t_start = time.perf_counter()
+    chunks = [
+        jax.block_until_ready(estimate(p0[i : i + RESTART_CHUNK], gammas))
+        for i in range(0, p0.shape[0], RESTART_CHUNK)
+    ]
+    wall = time.perf_counter() - t_start
+    from ode_uncertainty_tpu.inference import EstimationResult
+
+    res = EstimationResult(
+        *[
+            np.concatenate([np.asarray(getattr(c, f)) for c in chunks])
+            for f in ("params_inits", "params_optims", "nll_optims", "num_lbfgs_iters", "num_nll_evals")
+        ],
+        gammas=np.asarray(chunks[0].gammas),
+    )
+
+    results = {
+        "params_inits": res.params_inits,
+        "params_optims": res.params_optims,
+        "params_default": np.asarray(spec.defaults_flat[spec.opt_indices]),
+        "params_name": np.asarray(spec.opt_keys, dtype="S"),
+        "nll_optims": res.nll_optims,
+        "num_lbfgs_iters": res.num_lbfgs_iters,
+        "num_nll_evals": res.num_nll_evals,
+        # value_and_grad evaluates jointly on-device; counters coincide
+        "num_nll_jac_evals": res.num_nll_evals,
+        "gammas": res.gammas,
+        "wall_clock_s": np.asarray(wall),
+    }
+    store_data(results, cfg["output"], mode="a")
+    best = int(np.argmin(results["nll_optims"][:, -1]))
+    print(
+        f"optimize: {p0.shape[0]} restarts x {len(gammas)} stages in {wall:.1f}s; "
+        f"best NLL {results['nll_optims'][best, -1]:.3f} at "
+        f"{results['params_optims'][best, -1]} -> {cfg['output']}"
+    )
+
+
+def evaluate(cfg) -> None:
+    dtype = setup_precision(cfg)
+    import jax.numpy as jnp
+
+    from ode_uncertainty_tpu.inference import make_nll_landscape
+    from ode_uncertainty_tpu.utils.io import store_data
+
+    model, solver, spec, ekf, obs, state0, nll, q_sqrt, num_steps = _build_rig(cfg, dtype)
+    gammas = _gammas(cfg, dtype)
+
+    evals = cfg["num_param_evals"]
+    lo = np.asarray(spec.mins_flat[spec.opt_indices])
+    hi = np.asarray(spec.maxs_flat[spec.opt_indices])
+    axes = [
+        np.linspace(0.0, 1.0, int(evals.get(k, 1)))
+        for k in spec.opt_keys
+    ]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, len(axes))
+    grid_j = jnp.asarray(grid, dtype)
+
+    landscape = make_nll_landscape(nll, q_sqrt, batch_size=cfg.get("eval_batch", 256))
+    t0 = time.perf_counter()
+    vals = np.asarray(landscape(grid_j, gammas))
+    wall = time.perf_counter() - t0
+    per_eval_ns = wall / max(vals.size, 1) * 1e9
+
+    results = {
+        "param_evals": grid * (hi - lo) + lo,
+        "nll_evals": vals,
+        "gammas": np.asarray(gammas),
+        # per-eval timing; batched on device, so one amortized number per eval
+        "timings": np.full(max(vals.size - 1, 1), per_eval_ns),
+    }
+    store_data(results, cfg["output"], mode="a")
+    print(
+        f"evaluate: {vals.shape[1]} grid points x {vals.shape[0]} stages in {wall:.1f}s "
+        f"({per_eval_ns:.0f} ns/eval amortized) -> {cfg['output']}"
+    )
+
+
+if __name__ == "__main__":
+    cfg = config_cli(
+        "Tempered ODE parameter estimation",
+        positional=[("command", {"choices": ["optimize", "evaluate"]})],
+    )
+    (optimize if cfg["command"] == "optimize" else evaluate)(cfg)

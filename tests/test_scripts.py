@@ -1,0 +1,170 @@
+"""Config system + CLI script smoke tests (tiny settings, CPU)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPTS = REPO / "scripts"
+
+sys.path.insert(0, str(REPO / "configs"))
+
+
+def _run(script, *args, timeout=600):
+    env = {
+        "PYTHONPATH": str(REPO),
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/tmp",
+    }
+    out = subprocess.run(
+        [sys.executable, str(SCRIPTS / script), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=SCRIPTS,
+        timeout=timeout,
+    )
+    assert out.returncode == 0, f"{script} failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+# ------------------------------------------------------------- config system
+def test_experiment_registry_builds_all():
+    import experiments
+
+    names = experiments.all_experiments()
+    assert len(names) == 94  # parity with the reference's 94 config files
+    for name in names:
+        cfg = experiments.build(name)
+        assert "output" in cfg
+
+
+def test_instantiate_reference_style_config(tmp_path):
+    """A reference-style YAML (src.* class paths, reference arg names)
+    resolves against our registries."""
+    from ode_uncertainty_tpu.filters import SqrtEKF
+    from ode_uncertainty_tpu.models.base import ODEModel
+    from ode_uncertainty_tpu.utils.config import load_config
+
+    cfg_text = """
+output: /tmp/out.h5
+filter_builder:
+  class_path: src.filters.SQRT_EKF
+  init_args:
+    cov_update_fn_builder:
+      class_path: src.covariance_update_functions.DiagonalCovarianceUpdate
+      init_args: {scale: 1.0}
+    disable_cov_update: true
+solver_builder:
+  class_path: src.solvers.RKF45
+  init_args: {step_size: 0.01}
+ode_builder:
+  class_path: src.ode.LotkaVolterra
+  init_args: {alpha: 1.5, beta: 1.0, gamma: 3.0, delta: 1.0}
+x0: '[[1.0, 1.0]]'
+"""
+    p = tmp_path / "ref_style.yaml"
+    p.write_text(cfg_text)
+    cfg = load_config(str(p))
+    assert isinstance(cfg["filter_builder"], SqrtEKF)
+    assert cfg["filter_builder"].disable_cov_update is True
+    assert isinstance(cfg["ode_builder"], ODEModel)
+    assert cfg["solver_builder"].h == 0.01
+
+
+def test_diffrax_config_maps_to_native_solver():
+    from ode_uncertainty_tpu.solvers import Kvaerno3
+    from ode_uncertainty_tpu.utils.config import instantiate
+
+    node = {
+        "class_path": "src.solvers.DiffraxSolverBuilder",
+        "init_args": {"name": "Kvaerno3", "step_size": 0.01},
+    }
+    solver = instantiate(node)
+    assert isinstance(solver, Kvaerno3)
+    assert solver.h == 0.01
+
+
+def test_multicompartment_config_with_string_lists():
+    from ode_uncertainty_tpu.utils.config import instantiate
+
+    node = {
+        "class_path": "src.ode.MultiCompartmentHodgkinHuxley",
+        "init_args": {
+            "model": "reduced-4",
+            "num_compartments": 2,
+            "coupling_coeffs": "[1.0]",
+            "g_Na": "[25.0, 20.0]",
+        },
+    }
+    m = instantiate(node)
+    assert m.dim == 8
+    np.testing.assert_allclose(np.asarray(m.params["g_Na"]), [25.0, 20.0])
+
+
+# ------------------------------------------------------------------ pipeline
+@pytest.mark.slow
+def test_end_to_end_pipeline(tmp_path):
+    """gt -> noisy obs -> EKF filter -> estimation -> trmse via the CLIs."""
+    gt_path = tmp_path / "gt.h5"
+    _run(
+        "run_ode_solver.py",
+        "--experiment",
+        "noise_gt/lotkavolterra",
+        "--set",
+        f"output={gt_path}",
+        "--set",
+        "tN=5.0",
+        "--set",
+        "solver_builder={class_path: RKF45, init_args: {step_size: 0.01}}",
+        "--set",
+        "save_interval=10",
+    )
+    assert gt_path.exists()
+
+    est_path = tmp_path / "est.h5"
+    out = _run(
+        "run_parameter_estimation.py",
+        "optimize",
+        "--experiment",
+        "params/lotkavolterra2",
+        "--set",
+        f"output={est_path}",
+        "--set",
+        f"y_path={gt_path}",
+        "--set",
+        "tN=5.0",
+        "--set",
+        "measurement_matrix=[[1, 0], [0, 1]]",
+        "--set",
+        "num_random_runs=4",
+        "--set",
+        "num_tempering_stages=2",
+        "--set",
+        "lbfgs_maxiter=25",
+    )
+    assert "optimize: 4 restarts x 2 stages" in out
+
+    from ode_uncertainty_tpu.utils.io import load_data
+
+    data = load_data(str(est_path))
+    assert data["params_optims"].shape == (4, 2, 2)
+    # restarts that start in a blow-up region stay at NaN (the reference
+    # records degenerate rows for failed restarts too); the best must be real
+    assert np.isfinite(data["nll_optims"][:, -1]).any()
+
+    out = _run(
+        "compute_trmse.py",
+        "--experiment",
+        "params/lotkavolterra2",
+        "--set",
+        f"parameter_estimates_input={est_path}",
+        "--set",
+        "tN=5.0",
+    )
+    assert "tRMSE=" in out
