@@ -100,21 +100,25 @@ def optimize(cfg) -> None:
         tol=cfg.get("lbfgs_tol", 1e-4),
     )
 
-    t_start = time.perf_counter()
-    chunks = [
-        jax.block_until_ready(estimate(p0[i : i + RESTART_CHUNK], gammas))
-        for i in range(0, p0.shape[0], RESTART_CHUNK)
-    ]
-    wall = time.perf_counter() - t_start
     from ode_uncertainty_tpu.inference import EstimationResult
+    from ode_uncertainty_tpu.utils.checkpoint import run_chunked
 
-    res = EstimationResult(
-        *[
-            np.concatenate([np.asarray(getattr(c, f)) for c in chunks])
-            for f in ("params_inits", "params_optims", "nll_optims", "num_lbfgs_iters", "num_nll_evals")
-        ],
-        gammas=np.asarray(chunks[0].gammas),
+    fields = ("params_inits", "params_optims", "nll_optims", "num_lbfgs_iters", "num_nll_evals")
+
+    def run_chunk(start, stop):
+        r = jax.block_until_ready(estimate(p0[start:stop], gammas))
+        return {f: np.asarray(getattr(r, f)) for f in fields}
+
+    t_start = time.perf_counter()
+    merged = run_chunked(
+        cfg["output"],
+        p0.shape[0],
+        cfg.get("restart_chunk", RESTART_CHUNK),
+        run_chunk,
+        resume=cfg.get("resume", True),
     )
+    wall = time.perf_counter() - t_start
+    res = EstimationResult(*[merged[f] for f in fields], gammas=np.asarray(gammas))
 
     results = {
         "params_inits": res.params_inits,
