@@ -6,12 +6,20 @@ from ode_uncertainty_tpu.filters.cov_updates import (
     OuterUpdate,
     StaticDiagonalUpdate,
 )
+from ode_uncertainty_tpu.filters.ekf import DenseEKF, DenseEKFState
+from ode_uncertainty_tpu.filters.gmm_ekf import GMMSqrtEKF, GMMState
 from ode_uncertainty_tpu.filters.particle import ParticleFilter, PFState
 from ode_uncertainty_tpu.filters.sqrt_ekf import EKFState, SqrtEKF
+from ode_uncertainty_tpu.filters.ukf import UKF, SqrtUKF
 
 FILTER_REGISTRY = {
     "SQRT_EKF": SqrtEKF,
     "ParticleFilter": ParticleFilter,
+    # extension filters (reference's deprecated algorithm set, §2.5)
+    "EKF": DenseEKF,
+    "UKF": UKF,
+    "UKF_SQRT": SqrtUKF,
+    "GMM_EKF": GMMSqrtEKF,
 }
 
 __all__ = [
@@ -23,5 +31,11 @@ __all__ = [
     "PFState",
     "EKFState",
     "SqrtEKF",
+    "DenseEKF",
+    "DenseEKFState",
+    "UKF",
+    "SqrtUKF",
+    "GMMSqrtEKF",
+    "GMMState",
     "FILTER_REGISTRY",
 ]

@@ -68,6 +68,32 @@ class Kvaerno3:
         m = jnp.eye(n, dtype=x.dtype) - (h * _GAMMA) * jac
         m_lu = lu_factor(m)
 
+        newton_iters = self.newton_iters
+
+        def stage_solve(t_i, known, z0):
+            """Solves z = known + h*gamma*f(t_i, z).
+
+            Forward: fixed-iteration simplified Newton reusing the one LU.
+            Derivatives: implicit-function theorem via ``lax.custom_root`` —
+            one linear solve per tangent instead of differentiating through
+            the Newton iterations (compile size and grad cost of the
+            EKF/NLL paths drop by the iteration count).
+            """
+
+            def residual(z):
+                return z - known - (h * _GAMMA) * f_flat(t_i, z)
+
+            def solve(_, z):
+                def newton_iter(_, z):
+                    return z - lu_solve(m_lu, residual(z))
+
+                return jax.lax.fori_loop(0, newton_iters, newton_iter, z)
+
+            def tangent_solve(g_lin, y):
+                return jnp.linalg.solve(jax.jacfwd(g_lin)(y), y)
+
+            return jax.lax.custom_root(residual, z0, solve, tangent_solve)
+
         ks = [f_flat(t, x0)]  # stage 1 is explicit (a11 = 0)
         for i in range(1, 4):
             t_i = t + _C[i] * h
@@ -76,14 +102,7 @@ class Kvaerno3:
                 if _A[i][j] != 0.0:
                     known = known + (h * _A[i][j]) * ks[j]
 
-            # Solve z = known + h*gamma*f(t_i, z) by fixed-iteration Newton.
-            z = known + (h * _GAMMA) * ks[i - 1]  # warm start from last stage
-
-            def newton_iter(_, z):
-                res = z - known - (h * _GAMMA) * f_flat(t_i, z)
-                return z - lu_solve(m_lu, res)
-
-            z = jax.lax.fori_loop(0, self.newton_iters, newton_iter, z)
+            z = stage_solve(t_i, known, known + (h * _GAMMA) * ks[i - 1])
             ks.append(f_flat(t_i, z))
 
         x_next = x0
