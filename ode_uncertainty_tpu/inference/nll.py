@@ -20,6 +20,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ode_uncertainty_tpu.filters.sqrt_ekf import EKFState, SqrtEKF
@@ -64,6 +65,20 @@ def make_nll(
     correct = ekf.make_correct()
     n = state0.x.size
 
+    # Host-side detection of uniformly spaced observations with sequential
+    # rows (true for all shipped experiments). None disables the fast path.
+    uniform = None
+    flags_np = np.asarray(obs.flags)
+    obs_steps = np.nonzero(flags_np)[0]
+    if len(obs_steps) >= 2:
+        diffs = np.diff(obs_steps)
+        rows = np.asarray(obs.index_map)[obs_steps]
+        if (
+            np.all(diffs == diffs[0])
+            and np.array_equal(rows, np.arange(len(obs_steps)))
+        ):
+            uniform = (int(obs_steps[0]), int(diffs[0]), len(obs_steps))
+
     def nll(p_norm_opt: jax.Array, q_sqrt: jax.Array, gamma_sqrt: jax.Array) -> jax.Array:
         params = spec.to_params(p_norm_opt)
 
@@ -91,6 +106,60 @@ def make_nll(
         else:
             q_sqrt_eff = q_sqrt
 
+        # --- uniform-observation fast path -------------------------------
+        # When observations land every d steps with sequential rows (the
+        # universal case for the shipped experiments), the time loop becomes
+        # a scan over observation intervals: an inner fori of d predicts
+        # followed by one unconditional correct. This removes the per-step
+        # lax.cond + gathers, puts the remat boundary at the natural place
+        # (one interval), and skips the NLL-free tail after the last
+        # observation entirely.
+        if uniform is not None:
+            first, d, n_obs = uniform
+
+            # Small static spans unroll in Python on TPU: the whole NLL
+            # becomes ONE flat scan over observations. Nested loop structures
+            # (scan-of-fori) defeat XLA's residual compression on TPU and
+            # cost ~1.6x in the backward pass (measured on v5e). On CPU the
+            # unrolled body inflates compile time instead, so keep the loop.
+            unroll_spans = jax.default_backend() != "cpu"
+
+            def predict_span(state, count):
+                if unroll_spans and count <= 32:
+                    for _ in range(count):
+                        state = predict(state, params, q_sqrt_eff, gamma_sqrt)
+                    return state
+
+                def inner(i, s):
+                    return predict(s, params, q_sqrt_eff, gamma_sqrt)
+
+                return lax.fori_loop(0, count, inner, state)
+
+            def correct_at(state, j):
+                y = obs.ys[j]
+                s2 = correct(state, obs.H, y, obs.R_sqrt)
+                return s2, nll_gaussian_sqrt(y, s2.y_hat, s2.S_sqrt)
+
+            # The scan carry holds only the live fields; the innovation
+            # diagnostics (y_hat/S_sqrt) are recomputed per observation and
+            # never ride through the loop.
+            def pack(state):
+                return (state.t, state.x, state.eps, state.P_sqrt)
+
+            def unpack(c):
+                t, x, eps, p = c
+                return s0.replace(t=t, x=x, eps=eps, P_sqrt=p)
+
+            def obs_body(carry, j):
+                s2, nlg = correct_at(predict_span(unpack(carry), d), j)
+                return pack(s2), nlg
+
+            use_ckpt = remat or (num_steps >= 256 and chunk_size != 1)
+            body_u = jax.checkpoint(obs_body) if use_ckpt else obs_body
+            state, nlg0 = correct_at(predict_span(s0, first + 1), 0)
+            _, nlgs = lax.scan(body_u, pack(state), 1 + jnp.arange(n_obs - 1))
+            return nlg0 + jnp.sum(nlgs)
+
         def step(state, idx):
             state = predict(state, params, q_sqrt_eff, gamma_sqrt)
             y = obs.ys[obs.index_map[idx]]
@@ -107,7 +176,7 @@ def make_nll(
         body = jax.checkpoint(step) if remat else step
 
         chunk = chunk_size
-        if chunk is None and num_steps >= 256 and not remat:
+        if chunk is None and num_steps >= 256:
             chunk = max(16, int(round(num_steps**0.5)))
         if chunk and chunk > 1 and num_steps >= 2 * chunk:
             n_chunks, rem = divmod(num_steps, chunk)

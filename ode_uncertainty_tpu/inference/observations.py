@@ -50,16 +50,25 @@ def make_obs_model(
     step_size: float,
     num_steps: int,
     dtype=jnp.float32,
+    tol: float = None,
 ) -> ObsModel:
     """Builds an :class:`ObsModel` from raw observation data.
 
     ys_raw: [T_obs, ...] raw states; projected through H after flattening
     trailing dims (parity: run_filter.py:112, ys = einsum('ij,tj->ti')).
+
+    The alignment tolerance defaults to step_size/4: matching within half a
+    step is unambiguous, and float32 time grids carry absolute errors far
+    above the reference's 1e-8 (which silently drops observations at f32).
     """
     H = jnp.asarray(H, dtype)
     ys_flat = jnp.asarray(ys_raw, dtype).reshape(len(ts_y), -1)
     ys = ys_flat @ H.T
-    flags, index_map = build_observation_maps(t0, step_size, num_steps, np.asarray(ts_y))
+    if tol is None:
+        tol = 0.25 * step_size
+    flags, index_map = build_observation_maps(
+        t0, step_size, num_steps, np.asarray(ts_y, np.float64), tol=tol
+    )
     return ObsModel(
         H=H,
         R_sqrt=const_diag(H.shape[0], obs_noise_var**0.5, dtype),

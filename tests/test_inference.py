@@ -209,3 +209,41 @@ def test_nll_landscape_grid():
     nll_true = float(nll(p_true, jnp.zeros((2, 2)), jnp.asarray(0.0)))
     frac_worse = float(jnp.mean(vals[1] > nll_true))
     assert frac_worse > 0.9, f"only {frac_worse:.2f} of grid points worse than truth"
+
+
+def test_uniform_obs_fast_path_matches_generic():
+    """The uniform-spacing fast path must agree with the generic per-step
+    cond path in value and gradient."""
+    from ode_uncertainty_tpu.inference import ObsModel
+
+    m, sol, spec, ekf, obs, state0, nll_fast, num_steps, x0 = _lv_problem()
+    # force the generic path by perturbing the flags pattern metadata only:
+    # rebuild with an obs model whose last flag is moved by one step
+    flags = np.asarray(obs.flags).copy()
+    idx = np.nonzero(flags)[0]
+    # keep identical observation schedule but break uniform detection by
+    # adding a dummy extra observation step right after the first one,
+    # pointing at the same row (mathematically different) -- instead, simply
+    # verify both paths on the same rig: generic via chunk of the plain impl
+    from ode_uncertainty_tpu.inference.nll import make_nll
+
+    nll_generic = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
+    # monkeypatch: build a generic one by disabling detection
+    import ode_uncertainty_tpu.inference.nll as nll_mod
+
+    orig = np.nonzero
+    try:
+        np.nonzero = lambda a: (np.array([], dtype=int),)  # defeat detection
+        nll_nofast = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
+    finally:
+        np.nonzero = orig
+
+    q = jnp.diag(jnp.array([1.0, 1.0]))
+    gam = jnp.asarray(0.1)
+    p = spec.defaults_norm_opt() + jnp.array([0.02, -0.03])
+    v1 = float(nll_generic(p, q, gam))
+    v2 = float(nll_nofast(p, q, gam))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    g1 = jax.grad(lambda z: nll_generic(z, q, gam))(p)
+    g2 = jax.grad(lambda z: nll_nofast(z, q, gam))(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
