@@ -47,6 +47,7 @@ def make_tempered_estimator(
     max_iter: int = 200,
     tol: float = 1e-6,
     history: int = 10,
+    stage_scan: bool = True,
 ):
     """Builds the batched tempered estimator.
 
@@ -54,36 +55,68 @@ def make_tempered_estimator(
         nll: ``(p_norm_opt [P_opt], q_sqrt, gamma_sqrt) -> []`` (from
             :func:`ode_uncertainty_tpu.inference.nll.make_nll`).
         q_sqrt: [n, n] process-noise sqrt structure (gamma scales it).
+        stage_scan: if True, tempering stages run as a lax.scan inside one
+            program; if False, stages loop on the host around one jitted
+            per-stage program (identical semantics — gamma is traced either
+            way, so there is exactly one compilation — but each dispatched
+            program is smaller, which matters on TPU runtimes that choke on
+            deeply nested scan-of-while programs).
 
     Returns:
-        jitted ``estimate(p0_norm [R, P_opt], gammas [S]) -> EstimationResult``.
+        ``estimate(p0_norm [R, P_opt], gammas [S]) -> EstimationResult``.
     """
 
-    def run_one(p0_norm, gammas):
-        def stage(p, gamma):
-            res = lbfgs_box(
-                lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)),
-                p,
-                0.0,
-                1.0,
-                max_iter=max_iter,
-                tol=tol,
-                history=history,
+    def one_stage(p, gamma):
+        return lbfgs_box(
+            lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)),
+            p,
+            0.0,
+            1.0,
+            max_iter=max_iter,
+            tol=tol,
+            history=history,
+        )
+
+    if stage_scan:
+
+        def run_one(p0_norm, gammas):
+            def stage(p, gamma):
+                res = one_stage(p, gamma)
+                return res.x, (res.x, res.f, res.iters, res.n_fev)
+
+            _, (xs, fs, iters, fevs) = lax.scan(stage, p0_norm, gammas)
+            return xs, fs, iters, fevs
+
+        @jax.jit
+        def estimate(p0_norm: jax.Array, gammas: jax.Array) -> EstimationResult:
+            xs, fs, iters, fevs = jax.vmap(run_one, in_axes=(0, None))(p0_norm, gammas)
+            return EstimationResult(
+                params_inits=spec.opt_to_physical(p0_norm),
+                params_optims=spec.opt_to_physical(xs),
+                nll_optims=fs,
+                num_lbfgs_iters=iters,
+                num_nll_evals=fevs,
+                gammas=gammas,
             )
-            return res.x, (res.x, res.f, res.iters, res.n_fev)
 
-        _, (xs, fs, iters, fevs) = lax.scan(stage, p0_norm, gammas)
-        return xs, fs, iters, fevs
+        return estimate
 
-    @jax.jit
+    stage_batched = jax.jit(jax.vmap(one_stage, in_axes=(0, None)))
+
     def estimate(p0_norm: jax.Array, gammas: jax.Array) -> EstimationResult:
-        xs, fs, iters, fevs = jax.vmap(run_one, in_axes=(0, None))(p0_norm, gammas)
+        p = p0_norm
+        outs = []
+        for s in range(gammas.shape[0]):
+            res = jax.block_until_ready(stage_batched(p, gammas[s]))
+            p = res.x
+            outs.append(res)
+        stack = lambda f: jnp.stack([getattr(o, f) for o in outs], axis=1)
         return EstimationResult(
             params_inits=spec.opt_to_physical(p0_norm),
-            params_optims=spec.opt_to_physical(xs),
-            nll_optims=fs,
-            num_lbfgs_iters=iters,
-            num_nll_evals=fevs,
+            params_optims=spec.opt_to_physical(stack("x")),
+            nll_optims=stack("f"),
+            num_lbfgs_iters=stack("iters"),
+            num_nll_evals=stack("n_fev"),
             gammas=gammas,
         )
 

@@ -23,13 +23,18 @@ from ode_uncertainty_tpu.models.base import ODEModel, Params, as_params
 
 
 def exponential(growth_factor: float = 1.0) -> ODEModel:
-    """dy/dt = a * y  (N=1, D=1)."""
+    """dy/dt = a * y  (N=1, D=1) with closed-form solution."""
 
     def rhs(t, y, params):
         del t
         return params["growth_factor"] * y
 
-    return ODEModel("exponential", 1, 1, rhs, as_params(growth_factor=growth_factor))
+    def solution(ts, x0, params):
+        return x0[0][None, :] * jnp.exp(params["growth_factor"] * ts)[:, None]
+
+    return ODEModel(
+        "exponential", 1, 1, rhs, as_params(growth_factor=growth_factor), solution=solution
+    )
 
 
 def logistic(growth_rate: float = 1.0, carrying_capacity: float = 1.0) -> ODEModel:

@@ -45,3 +45,15 @@ def value_and_jacfwd(f: Callable, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     out, f_lin = jax.linearize(f, x)
     jac = jax.vmap(f_lin, in_axes=1, out_axes=1)(jnp.eye(n, dtype=x.dtype))
     return out, jac
+
+
+def pull_sqrt(f: Callable, x: jax.Array, m_rows: jax.Array):
+    """Reverse-mode alternative to :func:`push_sqrt`: computes ``M @ J_f``
+    by vmapping the VJP over the rows of M (parity with the reference's
+    unused ``mjp_aux``, src/utils.py:82-87). ``f`` returns (primary, aux).
+
+    Returns (out, mj) with mj [k, n] = m_rows @ J.
+    """
+    out, vjp_fn, aux = jax.vjp(f, x, has_aux=True)
+    rows = jax.vmap(lambda v: vjp_fn(v)[0])(m_rows)
+    return (out, aux), rows

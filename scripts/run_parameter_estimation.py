@@ -98,6 +98,10 @@ def optimize(cfg) -> None:
         q_sqrt,
         max_iter=cfg.get("lbfgs_maxiter", 200),
         tol=cfg.get("lbfgs_tol", 1e-4),
+        # host-looped stages: smaller dispatched programs (one compilation
+        # either way since gamma is traced); deeply nested scan-of-while
+        # programs intermittently fault this TPU runtime
+        stage_scan=cfg.get("stage_scan", False),
     )
 
     from ode_uncertainty_tpu.inference import EstimationResult

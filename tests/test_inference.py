@@ -247,3 +247,18 @@ def test_uniform_obs_fast_path_matches_generic():
     g1 = jax.grad(lambda z: nll_generic(z, q, gam))(p)
     g2 = jax.grad(lambda z: nll_nofast(z, q, gam))(p)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
+
+
+def test_tempered_estimator_stage_modes_agree():
+    """scan-over-stages and host-looped stages produce identical results."""
+    m, sol, spec, ekf, obs, state0, nll, num_steps, x0 = _lv_problem()
+    q_sqrt = jnp.eye(2, dtype=jnp.float64)
+    gammas = jnp.array([1e-2, 0.0])
+    p0 = spec.sample_norm(random.key(5), 4).astype(jnp.float64)
+    est_scan = make_tempered_estimator(nll, spec, q_sqrt, max_iter=15, tol=1e-8, stage_scan=True)
+    est_loop = make_tempered_estimator(nll, spec, q_sqrt, max_iter=15, tol=1e-8, stage_scan=False)
+    a = est_scan(p0, gammas)
+    b = est_loop(p0, gammas)
+    np.testing.assert_allclose(np.asarray(a.params_optims), np.asarray(b.params_optims), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.nll_optims), np.asarray(b.nll_optims), rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(a.num_lbfgs_iters), np.asarray(b.num_lbfgs_iters))

@@ -193,3 +193,25 @@ def test_qr_r_small_differentiable():
     assert bool(jnp.all(jnp.isfinite(g)))
     # grad of sum(R^2) = grad of sum of squared entries = grad tr(A^T A) = 2A
     np.testing.assert_allclose(np.asarray(g), np.asarray(2 * a), rtol=1e-8)
+
+
+def test_pull_sqrt_matches_dense_jacobian():
+    from ode_uncertainty_tpu.ops.linearize import pull_sqrt
+
+    def f(x):
+        return jnp.cos(x) * x[::-1], jnp.abs(x)
+
+    x = random.normal(random.key(3), (5,))
+    m = random.normal(random.key(4), (3, 5))
+    (y, aux), mj = pull_sqrt(f, x, m)
+    jac = jax.jacfwd(lambda z: f(z)[0])(x)
+    np.testing.assert_allclose(np.asarray(mj), np.asarray(m @ jac), rtol=1e-10)
+
+
+def test_exponential_analytic_solution():
+    from ode_uncertainty_tpu import models
+
+    m = models.exponential(growth_factor=0.7)
+    ts = jnp.linspace(0.0, 2.0, 5)
+    xs = m.solution(ts, jnp.array([[2.0]]), m.params)
+    np.testing.assert_allclose(np.asarray(xs[:, 0]), 2.0 * np.exp(0.7 * np.asarray(ts)), rtol=1e-12)
