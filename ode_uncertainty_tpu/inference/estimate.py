@@ -101,13 +101,65 @@ def make_tempered_estimator(
 
         return estimate
 
-    stage_batched = jax.jit(jax.vmap(one_stage, in_axes=(0, None)))
+    # Host-looped stages with segmented L-BFGS: each dispatched program runs
+    # at most ``segment_iters`` optimizer iterations, bounding single-dispatch
+    # duration/size (long nested-while programs intermittently fault some TPU
+    # runtimes). Semantics identical to the one-program path.
+    from ode_uncertainty_tpu.inference.lbfgs import (
+        lbfgs_box_init,
+        lbfgs_box_segment,
+        lbfgs_result,
+    )
+
+    segment_iters = min(10, max_iter)
+
+    def obj(p, gamma):
+        return nll(p, q_sqrt, jnp.sqrt(gamma))
+
+    @jax.jit
+    def init_batched(p, gamma):
+        return jax.vmap(lambda pp: lbfgs_box_init(lambda z: obj(z, gamma), pp, 0.0, 1.0, history, tol))(p)
+
+    @jax.jit
+    def segment_batched(state, gamma, limit):
+        return jax.vmap(
+            lambda st: lbfgs_box_segment(
+                lambda z: obj(z, gamma), st, limit, 0.0, 1.0, tol=tol
+            )
+        )(state)
+
+    @jax.jit
+    def result_batched(state):
+        return jax.vmap(lambda st: lbfgs_result(st, 0.0, 1.0, tol))(state)
 
     def estimate(p0_norm: jax.Array, gammas: jax.Array) -> EstimationResult:
+        import time
+
+        import numpy as np
+
+        # Single dispatches beyond ~90s fault this TPU runtime; adapt the
+        # per-dispatch iteration budget toward this wall-clock target.
+        target_s = 40.0
+
         p = p0_norm
         outs = []
+        seg = float(segment_iters)
         for s in range(gammas.shape[0]):
-            res = jax.block_until_ready(stage_batched(p, gammas[s]))
+            gamma = gammas[s]
+            state = jax.block_until_ready(init_batched(p, gamma))
+            limit = int(np.min(np.asarray(state.iters))) + max(2, int(seg))
+            while True:
+                t0 = time.perf_counter()
+                state = jax.block_until_ready(segment_batched(state, gamma, limit))
+                elapsed = time.perf_counter() - t0
+                if bool(jnp.all(state.done | (state.iters >= max_iter))):
+                    break
+                # adapt: aim for target_s per dispatch (compile-tainted first
+                # calls only make segments conservative)
+                rate = max(2.0, int(seg) * target_s / max(elapsed, 1e-3))
+                seg = min(rate, float(max_iter))
+                limit = min(limit + max(2, int(seg)), max_iter)
+            res = result_batched(state)
             p = res.x
             outs.append(res)
         stack = lambda f: jnp.stack([getattr(o, f) for o in outs], axis=1)

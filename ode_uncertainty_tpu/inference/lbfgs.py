@@ -80,28 +80,57 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, m):
     return -r
 
 
-def lbfgs_box(
+def lbfgs_box_init(
     fun: Callable,
     x0: jax.Array,
     lower: jax.Array | float = 0.0,
     upper: jax.Array | float = 1.0,
-    max_iter: int = 200,
     history: int = 10,
+    tol: float = 1e-6,
+) -> _State:
+    """Builds the initial optimizer state (one objective evaluation)."""
+    dtype = x0.dtype
+    p = x0.shape[-1]
+    lower = jnp.broadcast_to(jnp.asarray(lower, dtype), (p,))
+    upper = jnp.broadcast_to(jnp.asarray(upper, dtype), (p,))
+    x0 = jnp.clip(x0, lower, upper)
+    f0, g0 = jax.value_and_grad(fun)(x0)
+    pg = jnp.max(jnp.abs(x0 - jnp.clip(x0 - g0, lower, upper)))
+    return _State(
+        x=x0,
+        f=f0,
+        g=g0,
+        s_hist=jnp.zeros((history, p), dtype),
+        y_hist=jnp.zeros((history, p), dtype),
+        rho=jnp.zeros((history,), dtype),
+        head=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        iters=jnp.zeros((), jnp.int32),
+        n_fev=jnp.ones((), jnp.int32),
+        done=pg <= tol,
+    )
+
+
+def lbfgs_box_segment(
+    fun: Callable,
+    state: _State,
+    iter_limit,
+    lower: jax.Array | float = 0.0,
+    upper: jax.Array | float = 1.0,
     tol: float = 1e-6,
     max_linesearch: int = 25,
     armijo_c1: float = 1e-4,
-) -> LBFGSResult:
-    """Minimizes ``fun`` over the box [lower, upper].
+) -> _State:
+    """Runs the optimizer until convergence or ``iters >= iter_limit``.
 
-    fun: differentiable ``[P] -> []``. NaN/Inf trial values are treated as
-    line-search failures (the backtracking shrinks past them), which is what
-    makes tempered filter NLLs — unstable at extreme parameters — optimizable
-    without host-side try/except (the reference catches RuntimeError per
-    stage instead, run_parameter_estimation.py:657-667).
+    ``iter_limit`` may be traced; calling this in a host loop with an
+    increasing limit bounds the duration of each dispatched program (some
+    TPU runtimes fault on very long single dispatches) while preserving
+    exact L-BFGS semantics across segments.
     """
-    dtype = x0.dtype
-    p = x0.shape[-1]
-    m = history
+    dtype = state.x.dtype
+    p = state.x.shape[-1]
+    m = state.s_hist.shape[0]
     lower = jnp.broadcast_to(jnp.asarray(lower, dtype), (p,))
     upper = jnp.broadcast_to(jnp.asarray(upper, dtype), (p,))
     value_and_grad = jax.value_and_grad(fun)
@@ -113,24 +142,8 @@ def lbfgs_box(
         """Infinity norm of the projected gradient (KKT residual)."""
         return jnp.max(jnp.abs(x - proj(x - g)))
 
-    x0 = proj(x0)
-    f0, g0 = value_and_grad(x0)
-    init = _State(
-        x=x0,
-        f=f0,
-        g=g0,
-        s_hist=jnp.zeros((m, p), dtype),
-        y_hist=jnp.zeros((m, p), dtype),
-        rho=jnp.zeros((m,), dtype),
-        head=jnp.zeros((), jnp.int32),
-        count=jnp.zeros((), jnp.int32),
-        iters=jnp.zeros((), jnp.int32),
-        n_fev=jnp.ones((), jnp.int32),
-        done=pg_norm(x0, g0) <= tol,
-    )
-
     def cond(st: _State):
-        return jnp.logical_not(st.done) & (st.iters < max_iter)
+        return jnp.logical_not(st.done) & (st.iters < iter_limit)
 
     def body(st: _State) -> _State:
         d = _two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.head, st.count, m)
@@ -210,12 +223,52 @@ def lbfgs_box(
             done=done,
         )
 
-    final = lax.while_loop(cond, body, init)
+    return lax.while_loop(cond, body, state)
+
+
+def lbfgs_result(state: _State, lower=0.0, upper=1.0, tol: float = 1e-6) -> LBFGSResult:
+    """Converts an optimizer state into the public result record."""
+    lower = jnp.broadcast_to(jnp.asarray(lower, state.x.dtype), state.x.shape)
+    upper = jnp.broadcast_to(jnp.asarray(upper, state.x.dtype), state.x.shape)
+    pg = jnp.max(jnp.abs(state.x - jnp.clip(state.x - state.g, lower, upper)))
     return LBFGSResult(
-        x=final.x,
-        f=final.f,
-        g=final.g,
-        iters=final.iters,
-        n_fev=final.n_fev,
-        converged=pg_norm(final.x, final.g) <= tol,
+        x=state.x,
+        f=state.f,
+        g=state.g,
+        iters=state.iters,
+        n_fev=state.n_fev,
+        converged=pg <= tol,
     )
+
+
+def lbfgs_box(
+    fun: Callable,
+    x0: jax.Array,
+    lower: jax.Array | float = 0.0,
+    upper: jax.Array | float = 1.0,
+    max_iter: int = 200,
+    history: int = 10,
+    tol: float = 1e-6,
+    max_linesearch: int = 25,
+    armijo_c1: float = 1e-4,
+) -> LBFGSResult:
+    """Minimizes ``fun`` over the box [lower, upper] in one program.
+
+    fun: differentiable ``[P] -> []``. NaN/Inf trial values are treated as
+    line-search failures (the backtracking shrinks past them), which is what
+    makes tempered filter NLLs — unstable at extreme parameters — optimizable
+    without host-side try/except (the reference catches RuntimeError per
+    stage instead, run_parameter_estimation.py:657-667).
+    """
+    state = lbfgs_box_init(fun, x0, lower, upper, history, tol)
+    state = lbfgs_box_segment(
+        fun,
+        state,
+        max_iter,
+        lower,
+        upper,
+        tol=tol,
+        max_linesearch=max_linesearch,
+        armijo_c1=armijo_c1,
+    )
+    return lbfgs_result(state, lower, upper, tol)

@@ -43,6 +43,7 @@ def make_nll(
     parameter_sensitivity: bool = False,
     remat: bool = False,
     chunk_size: Optional[int] = None,
+    fast_path: bool = True,
 ) -> Callable:
     """Returns ``nll(p_norm_opt [P_opt], q_sqrt [n, n], gamma_sqrt []) -> []``.
 
@@ -68,7 +69,7 @@ def make_nll(
     # Host-side detection of uniformly spaced observations with sequential
     # rows (true for all shipped experiments). None disables the fast path.
     uniform = None
-    flags_np = np.asarray(obs.flags)
+    flags_np = np.asarray(obs.flags) if fast_path else np.zeros(1, bool)
     obs_steps = np.nonzero(flags_np)[0]
     if len(obs_steps) >= 2:
         diffs = np.diff(obs_steps)

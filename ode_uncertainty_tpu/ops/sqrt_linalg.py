@@ -60,7 +60,10 @@ def nll_gaussian_sqrt(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Arr
         [...] negative log likelihood.
     """
     n = x.shape[-1]
-    z = solve_triangular(chol, x - mean, lower=True)
+    if n == 1:  # scalar observation: avoid a 1x1 LAPACK triangular solve
+        z = (x - mean) / chol[..., 0, 0:1]
+    else:
+        z = solve_triangular(chol, x - mean, lower=True)
     half_maha = 0.5 * jnp.einsum("...i,...i->...", z, z)
     log_det = jnp.log(jnp.abs(jnp.diagonal(chol, axis1=-2, axis2=-1))).sum(-1)
     return half_maha + 0.5 * n * jnp.log(2.0 * jnp.pi) + log_det
@@ -108,6 +111,8 @@ def jeffrey_gaussian_sqrt(m_1, m_2, s_1, s_2) -> jax.Array:
 
 def cho_solve_sqrt(chol: jax.Array, b: jax.Array) -> jax.Array:
     """Solves (chol chol^T) x = b given a (sign-indefinite) triangular factor."""
+    if chol.shape[-1] == 1:  # scalar system: division beats a LAPACK call
+        return b / (chol[..., 0:1, 0:1] ** 2)
     return cho_solve((chol, True), b)
 
 

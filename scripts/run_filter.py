@@ -51,6 +51,10 @@ def main(cfg) -> None:
             run = make_ekf_run(flt, solver, model, num_steps, save_every)
             _, traj = run(state0, model.params, zero_q, jnp.zeros((), dtype), obs)
         out = dataclasses.asdict(traj)
+        # constant noise configuration, stored for reference-schema parity
+        out["Q_sqrt"] = jnp.zeros((n, n), dtype)
+        out["gamma_sqrt"] = jnp.zeros((), dtype)
+        out["R_sqrt"] = obs.R_sqrt
     else:
         raise TypeError(f"Unsupported filter: {type(flt)}")
 

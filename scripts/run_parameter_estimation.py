@@ -56,6 +56,7 @@ def _build_rig(cfg, dtype):
         x0_raw=x0_raw,
         initial_state_parametrized=cfg.get("initial_state_parametrized", False),
         parameter_sensitivity=cfg.get("parameter_sensitivity", False),
+        fast_path=cfg.get("nll_fast_path", True),
     )
     w = jnp.asarray(parse_literal(cfg["gamma_noise_weights"]), dtype)
     q_sqrt = jnp.diag(w)

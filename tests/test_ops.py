@@ -215,3 +215,22 @@ def test_exponential_analytic_solution():
     ts = jnp.linspace(0.0, 2.0, 5)
     xs = m.solution(ts, jnp.array([[2.0]]), m.params)
     np.testing.assert_allclose(np.asarray(xs[:, 0]), 2.0 * np.exp(0.7 * np.asarray(ts)), rtol=1e-12)
+
+
+def test_scalar_observation_paths():
+    """L=1 special cases (division instead of 1x1 LAPACK solves) agree with
+    the general path."""
+    chol = jnp.array([[0.7]])
+    x = jnp.array([1.3])
+    m = jnp.array([0.9])
+    want = 0.5 * ((1.3 - 0.9) / 0.7) ** 2 + 0.5 * np.log(2 * np.pi) + np.log(0.7)
+    np.testing.assert_allclose(float(ops.nll_gaussian_sqrt(x, m, chol)), want, rtol=1e-12)
+    b = jnp.array([[2.0, 3.0]])
+    np.testing.assert_allclose(np.asarray(ops.cho_solve_sqrt(chol, b)), np.asarray(b) / 0.49, rtol=1e-12)
+    # batched
+    chols = jnp.array([[[0.5]], [[2.0]]])
+    xs = jnp.array([[1.0], [3.0]])
+    got = ops.nll_gaussian_sqrt(xs, jnp.zeros((2, 1)), chols)
+    for i, (c, v) in enumerate([(0.5, 1.0), (2.0, 3.0)]):
+        want = 0.5 * (v / c) ** 2 + 0.5 * np.log(2 * np.pi) + np.log(c)
+        np.testing.assert_allclose(float(got[i]), want, rtol=1e-12)
