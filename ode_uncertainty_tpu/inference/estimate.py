@@ -111,7 +111,7 @@ def make_tempered_estimator(
         lbfgs_result,
     )
 
-    segment_iters = min(10, max_iter)
+    segment_iters = min(1, max_iter)
 
     def obj(p, gamma):
         return nll(p, q_sqrt, jnp.sqrt(gamma))
@@ -139,7 +139,7 @@ def make_tempered_estimator(
 
         # Single dispatches beyond ~90s fault this TPU runtime; adapt the
         # per-dispatch iteration budget toward this wall-clock target.
-        target_s = 40.0
+        target_s = 25.0
 
         p = p0_norm
         outs = []

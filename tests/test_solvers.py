@@ -162,3 +162,39 @@ def test_kvaerno3_step_is_differentiable():
 
     g = jax.grad(loss)(jnp.array([[1.0], [0.5]]))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+@pytest.mark.parametrize("factory", [solvers.heun_euler, solvers.bs32, solvers.rkf45, solvers.dopri65])
+def test_unrolled_step_matches_scan_formulation(factory):
+    """An independent lax.scan-over-stages RK evaluation (the reference's
+    formulation, src/solvers/rksolver.py:138-151) must agree with the
+    unrolled stepper to float64 precision — guards the tableau transcription
+    and the stage-recurrence algebra."""
+    sol = factory(step_size=0.03)
+    tab = sol.tableau
+    m = models.lotka_volterra()
+    x = jnp.array([[1.3, 0.7]])
+    t = jnp.asarray(0.4)
+    h = sol.h
+
+    a = jnp.array([[float(v) for v in row] for row in tab.a])
+    b_sol = jnp.array([float(v) for v in tab.b_sol])
+    b_err = jnp.array([float(v) for v in tab.b_err])
+    c = jnp.array([float(v) for v in tab.c])
+    s = tab.num_stages
+
+    ks = jnp.zeros(x.shape + (s,))
+
+    def node(carry, i):
+        ks = carry
+        xi = x + h * (ks @ a[i])
+        k = m.rhs(t + c[i] * h, xi, m.params)
+        return ks.at[..., i].set(k), ()
+
+    ks, _ = jax.lax.scan(node, ks, jnp.arange(s))
+    x_prop = x + h * (ks @ b_sol)
+    eps_ref = jnp.abs(h * (ks @ (b_err - b_sol)))
+
+    x_next, eps = sol.step(m.rhs, m.params, t, x)
+    np.testing.assert_allclose(np.asarray(x_next), np.asarray(x_prop), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps_ref), rtol=1e-12, atol=1e-18)
