@@ -8,8 +8,10 @@ from ode_uncertainty_tpu.inference.estimate import (
     make_tempered_estimator,
 )
 from ode_uncertainty_tpu.inference.filter_run import (
+    make_dense_run,
     make_ekf_run,
     make_ekf_run_static,
+    make_gmm_run,
     make_pf_run,
 )
 from ode_uncertainty_tpu.inference.lbfgs import LBFGSResult, lbfgs_box
@@ -34,7 +36,9 @@ __all__ = [
     "EstimationResult",
     "make_nll_landscape",
     "make_tempered_estimator",
+    "make_dense_run",
     "make_ekf_run",
+    "make_gmm_run",
     "make_ekf_run_static",
     "make_pf_run",
     "LBFGSResult",

@@ -63,6 +63,54 @@ def make_ekf_run_static(ekf: SqrtEKF, solver, model: ODEModel, num_steps: int, s
     return run
 
 
+def make_dense_run(flt, solver, model: ODEModel, num_steps: int, save_every: int = 1):
+    """Trajectory driver for the dense-covariance filters (DenseEKF / UKF):
+    same loop as :func:`make_ekf_run` with full-covariance noise arguments."""
+    predict = flt.make_predict(solver, model.rhs)
+    correct = flt.make_correct()
+
+    @jax.jit
+    def run(state0, params, q, gamma, obs: ObsModel):
+        r = obs.R_sqrt @ obs.R_sqrt.T
+
+        def step(state, idx):
+            state = predict(state, params, q, gamma)
+            y = obs.ys[obs.index_map[idx]]
+            return lax.cond(
+                obs.flags[idx],
+                lambda s: correct(s, obs.H, y, r),
+                lambda s: s,
+                state,
+            )
+
+        return scan_save(step, state0, num_steps, save_every)
+
+    return run
+
+
+def make_gmm_run(gmm, solver, model: ODEModel, num_steps: int, save_every: int = 1):
+    """Trajectory driver for the Gaussian-mixture sqrt-EKF; stores the full
+    component bank plus the mixture moments per saved step."""
+    predict = gmm.make_predict(solver, model.rhs)
+    correct = gmm.make_correct()
+
+    @jax.jit
+    def run(state0, params, q_sqrt, gamma_sqrt, obs: ObsModel):
+        def step(state, idx):
+            state = predict(state, params, q_sqrt, gamma_sqrt)
+            y = obs.ys[obs.index_map[idx]]
+            return lax.cond(
+                obs.flags[idx],
+                lambda s: correct(s, obs.H, y, obs.R_sqrt),
+                lambda s: s,
+                state,
+            )
+
+        return scan_save(step, state0, num_steps, save_every)
+
+    return run
+
+
 def make_pf_run(pf: ParticleFilter, solver, model: ODEModel, num_steps: int, save_every: int = 1):
     """Particle-perturbation trajectory (prediction only, like the
     reference's ParticleFilter which has no correct step)."""

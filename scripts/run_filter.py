@@ -20,8 +20,21 @@ def main(cfg) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ode_uncertainty_tpu.filters import ParticleFilter, SqrtEKF
-    from ode_uncertainty_tpu.inference import make_ekf_run, make_ekf_run_static, make_pf_run
+    from ode_uncertainty_tpu.filters import (
+        DenseEKF,
+        GMMSqrtEKF,
+        ParticleFilter,
+        SqrtEKF,
+        SqrtUKF,
+        UKF,
+    )
+    from ode_uncertainty_tpu.inference import (
+        make_dense_run,
+        make_ekf_run,
+        make_ekf_run_static,
+        make_gmm_run,
+        make_pf_run,
+    )
     from ode_uncertainty_tpu.utils.io import store_data
 
     model = cfg["ode_builder"]
@@ -39,7 +52,7 @@ def main(cfg) -> None:
         run = make_pf_run(flt, solver, model, num_steps, save_every)
         _, traj = run(state0, model.params)
         out = {"t": traj.t, "x": traj.x, "eps": traj.eps}
-    elif isinstance(flt, SqrtEKF):
+    elif isinstance(flt, (SqrtEKF, SqrtUKF)):
         p0_sqrt = build_p0_sqrt(cfg, n, dtype)
         state0 = flt.init_state(cfg.get("t0", 0.0), x0, p0_sqrt, obs.obs_dim)
         if cfg.get("use_static_cov_fn", False):
@@ -55,6 +68,18 @@ def main(cfg) -> None:
         out["Q_sqrt"] = jnp.zeros((n, n), dtype)
         out["gamma_sqrt"] = jnp.zeros((), dtype)
         out["R_sqrt"] = obs.R_sqrt
+    elif isinstance(flt, (DenseEKF, UKF)):
+        p0_sqrt = build_p0_sqrt(cfg, n, dtype)
+        state0 = flt.init_state(cfg.get("t0", 0.0), x0, p0_sqrt @ p0_sqrt.T, obs.obs_dim)
+        run = make_dense_run(flt, solver, model, num_steps, save_every)
+        _, traj = run(state0, model.params, jnp.zeros((n, n), dtype), jnp.zeros((), dtype), obs)
+        out = dataclasses.asdict(traj)
+    elif isinstance(flt, GMMSqrtEKF):
+        p0_sqrt = build_p0_sqrt(cfg, n, dtype)
+        state0 = flt.init_state(cfg.get("t0", 0.0), x0, p0_sqrt)
+        run = make_gmm_run(flt, solver, model, num_steps, save_every)
+        _, traj = run(state0, model.params, jnp.zeros((n, n), dtype), jnp.zeros((), dtype), obs)
+        out = dataclasses.asdict(traj)
     else:
         raise TypeError(f"Unsupported filter: {type(flt)}")
 
