@@ -175,6 +175,62 @@ def make_tempered_estimator(
     return estimate
 
 
+def make_stage_optimizer(
+    nll: Callable,
+    q_sqrt: jax.Array,
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    history: int = 10,
+    target_s: float = 25.0,
+    initial_segment: int = 1,
+):
+    """Returns ``stage(p0_norm [R, P], gamma) -> LBFGSResult`` running one
+    tempering stage as adaptively-sized L-BFGS segments (each dispatched
+    program bounded in wall-clock; see make_tempered_estimator notes)."""
+    import time
+
+    import numpy as np
+
+    from ode_uncertainty_tpu.inference.lbfgs import (
+        lbfgs_box_init,
+        lbfgs_box_segment,
+        lbfgs_result,
+    )
+
+    def obj(p, gamma):
+        return nll(p, q_sqrt, jnp.sqrt(gamma))
+
+    @jax.jit
+    def init_batched(p, gamma):
+        return jax.vmap(lambda pp: lbfgs_box_init(lambda z: obj(z, gamma), pp, 0.0, 1.0, history, tol))(p)
+
+    @jax.jit
+    def segment_batched(state, gamma, limit):
+        return jax.vmap(
+            lambda st: lbfgs_box_segment(lambda z: obj(z, gamma), st, limit, 0.0, 1.0, tol=tol)
+        )(state)
+
+    @jax.jit
+    def result_batched(state):
+        return jax.vmap(lambda st: lbfgs_result(st, 0.0, 1.0, tol))(state)
+
+    def stage(p0_norm, gamma):
+        state = jax.block_until_ready(init_batched(p0_norm, gamma))
+        seg = float(initial_segment)
+        limit = int(np.min(np.asarray(state.iters))) + max(1, int(seg))
+        while True:
+            t0 = time.perf_counter()
+            state = jax.block_until_ready(segment_batched(state, gamma, limit))
+            elapsed = time.perf_counter() - t0
+            if bool(jnp.all(state.done | (state.iters >= max_iter))):
+                break
+            seg = min(max(1.0, int(seg) * target_s / max(elapsed, 1e-3)), float(max_iter))
+            limit = min(limit + max(1, int(seg)), max_iter)
+        return result_batched(state)
+
+    return stage
+
+
 def make_nll_landscape(nll: Callable, q_sqrt: jax.Array, batch_size: int = 256):
     """NLL grid evaluation (parity: run_parameter_estimation.py:evaluate).
 

@@ -81,6 +81,62 @@ def _initial_restarts(cfg, spec, dtype):
     return spec.defaults_norm_opt().astype(dtype)[None, :]
 
 
+def _optimize_checkpointed(cfg, stage_opt, spec, p0, gammas):
+    """Runs the (restart-chunk x tempering-stage) grid with a durable sidecar
+    checkpoint after every unit; resumes completed units on restart."""
+    import jax
+    import numpy as np
+    from pathlib import Path
+
+    r, p_dim = p0.shape
+    s = int(gammas.shape[0])
+    chunk = int(cfg.get("restart_chunk", RESTART_CHUNK))
+    ck_path = Path(str(cfg["output"]) + ".units.npz")
+
+    def fresh():
+        return {
+            "p_current": np.asarray(p0, np.float64),  # params after last done stage
+            "stage_done": np.zeros((r, s), bool),
+            "params_optims": np.full((r, s, p_dim), np.nan),
+            "nll_optims": np.full((r, s), np.nan),
+            "num_lbfgs_iters": np.zeros((r, s), np.int32),
+            "num_nll_evals": np.zeros((r, s), np.int32),
+        }
+
+    store = fresh()
+    if cfg.get("resume", True) and ck_path.exists():
+        with np.load(ck_path, allow_pickle=False) as z:
+            if z["stage_done"].shape == (r, s):
+                store = {k: z[k] for k in store}
+                print(f"resuming: {int(store['stage_done'].all(axis=1).sum())}/{r} restarts complete")
+
+    dtype = p0.dtype
+    for start in range(0, r, chunk):
+        stop = min(start + chunk, r)
+        for si in range(s):
+            if store["stage_done"][start:stop, si].all():
+                continue
+            p_in = jax.numpy.asarray(store["p_current"][start:stop], dtype)
+            res = stage_opt(p_in, gammas[si])
+            store["p_current"][start:stop] = np.asarray(res.x, np.float64)
+            store["params_optims"][start:stop, si] = np.asarray(spec.opt_to_physical(res.x))
+            store["nll_optims"][start:stop, si] = np.asarray(res.f)
+            store["num_lbfgs_iters"][start:stop, si] = np.asarray(res.iters)
+            store["num_nll_evals"][start:stop, si] = np.asarray(res.n_fev)
+            store["stage_done"][start:stop, si] = True
+            ck_path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(ck_path, **store)
+
+    ck_path.unlink(missing_ok=True)
+    return {
+        "params_inits": np.asarray(spec.opt_to_physical(p0)),
+        "params_optims": store["params_optims"],
+        "nll_optims": store["nll_optims"],
+        "num_lbfgs_iters": store["num_lbfgs_iters"],
+        "num_nll_evals": store["num_nll_evals"],
+    }
+
+
 def optimize(cfg) -> None:
     dtype = setup_precision(cfg)
     import jax
@@ -93,36 +149,24 @@ def optimize(cfg) -> None:
     gammas = _gammas(cfg, dtype)
     p0 = _initial_restarts(cfg, spec, dtype)
 
-    estimate = make_tempered_estimator(
+    from ode_uncertainty_tpu.inference import EstimationResult
+    from ode_uncertainty_tpu.inference.estimate import make_stage_optimizer
+
+    # One tempering stage of one restart chunk is the checkpoint unit: the
+    # TPU tunnel in this environment kills long-lived client sessions (~10
+    # min), so progress must be durable at finer granularity than a full
+    # (restarts x stages) sweep.
+    stage_opt = make_stage_optimizer(
         nll,
-        spec,
         q_sqrt,
         max_iter=cfg.get("lbfgs_maxiter", 200),
         tol=cfg.get("lbfgs_tol", 1e-4),
-        # host-looped stages: smaller dispatched programs (one compilation
-        # either way since gamma is traced); deeply nested scan-of-while
-        # programs intermittently fault this TPU runtime
-        stage_scan=cfg.get("stage_scan", False),
     )
-
-    from ode_uncertainty_tpu.inference import EstimationResult
-    from ode_uncertainty_tpu.utils.checkpoint import run_chunked
-
-    fields = ("params_inits", "params_optims", "nll_optims", "num_lbfgs_iters", "num_nll_evals")
-
-    def run_chunk(start, stop):
-        r = jax.block_until_ready(estimate(p0[start:stop], gammas))
-        return {f: np.asarray(getattr(r, f)) for f in fields}
 
     t_start = time.perf_counter()
-    merged = run_chunked(
-        cfg["output"],
-        p0.shape[0],
-        cfg.get("restart_chunk", RESTART_CHUNK),
-        run_chunk,
-        resume=cfg.get("resume", True),
-    )
+    merged = _optimize_checkpointed(cfg, stage_opt, spec, p0, gammas)
     wall = time.perf_counter() - t_start
+    fields = ("params_inits", "params_optims", "nll_optims", "num_lbfgs_iters", "num_nll_evals")
     res = EstimationResult(*[merged[f] for f in fields], gammas=np.asarray(gammas))
 
     results = {
