@@ -16,10 +16,19 @@ def setup_precision(cfg) -> "object":
     """Applies the config's precision choice before heavy jax use.
 
     ``float64: true`` enables x64 (validation parity with the f64 reference);
-    default is float32, the TPU-native path (SURVEY.md §7.1.4).
+    default is float32, the TPU-native path (SURVEY.md §7.1.4). Also enables
+    the persistent compilation cache so repeated/resumed script runs skip
+    recompiles.
     """
     import jax
 
+    cache_dir = os.environ.get("ODEUQ_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if cfg.get("float64", False):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
