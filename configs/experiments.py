@@ -121,7 +121,29 @@ SYSTEMS: Dict[str, dict] = {
     "hodgkinhuxley_c2_r1": dict(
         model=(
             "MultiCompartmentHodgkinHuxley",
-            {"variant": "reduced-1", "num_compartments": 2, "coupling_coeffs": [1.0]},
+            # Heterogeneous per-compartment ground truth, matching the
+            # reference exactly (configs/noise_gt/hodgkinhuxley_c2_r1.yaml:
+            # 12-27 == configs/params/hodgkinhuxley6_c2_r1.yaml init_args).
+            {
+                "variant": "reduced-1",
+                "num_compartments": 2,
+                "coupling_coeffs": [1.0],
+                "C": 1.0,
+                "A": [4.15e-5, 4.15e-5],
+                "g_Na": [25.0, 20.0],
+                "E_Na": [53.0, 53.0],
+                "g_K": [7.0, 10.0],
+                "E_K": [-107.0, -107.0],
+                "g_leak": [0.09, 0.11],
+                "E_leak": [-70.0, -70.0],
+                "V_T": [-70.0, -50.0],
+                "g_M": [0.01, 0.1],
+                "tau_max": [4e3, 4e3],
+                "g_L": [0.1, 0.01],
+                "E_Ca": [120.0, 120.0],
+                "g_T": [0.0, 0.0],
+                "V_x": [2.0, 2.0],
+            },
         ),
         x0=[[-70.0, -70.0]],
         t0=0.0,
@@ -134,7 +156,27 @@ SYSTEMS: Dict[str, dict] = {
     "hodgkinhuxley_c2_r4": dict(
         model=(
             "MultiCompartmentHodgkinHuxley",
-            {"variant": "reduced-4", "num_compartments": 2, "coupling_coeffs": [1.0]},
+            # reference configs/params/hodgkinhuxley2_c2_r4.yaml:17-36
+            {
+                "variant": "reduced-4",
+                "num_compartments": 2,
+                "coupling_coeffs": [1.0],
+                "C": 1.0,
+                "A": [4.15e-5, 4.15e-5],
+                "g_Na": [25.0, 20.0],
+                "E_Na": [53.0, 53.0],
+                "g_K": [7.0, 10.0],
+                "E_K": [-107.0, -107.0],
+                "g_leak": [0.09, 0.11],
+                "E_leak": [-70.0, -70.0],
+                "V_T": [-60.0, -60.0],
+                "g_M": [0.01, 0.01],
+                "tau_max": [4e3, 4e3],
+                "g_L": [0.01, 0.01],
+                "E_Ca": [120.0, 120.0],
+                "g_T": [0.0, 0.0],
+                "V_x": [2.0, 2.0],
+            },
         ),
         x0=[[-70.0, -70.0]],
         t0=0.0,
@@ -323,7 +365,10 @@ def _hh_problem(tag, system, optimized_names, seed, maxiter=200, eval_key=None, 
         evals = {"coupling_coeffs": 1, **evals}
     ranges = dict(HH_RANGES)
     if "c2" in system:
+        # coupling_coeffs is fixed, never optimized (reference
+        # configs/params/hodgkinhuxley2_c2_r4.yaml params_optimized block).
         ranges = {"coupling_coeffs": [1.0, 1.0], **ranges}
+        opt = {"coupling_coeffs": False, **opt}
     return _estimation_base(
         system,
         "Kvaerno3",

@@ -53,9 +53,14 @@ class OuterUpdate:
 
     def apply_sqrt(self, chol: jax.Array, eps: jax.Array) -> jax.Array:
         v = self.scale * eps
-        norm = jnp.sqrt(v @ v)
         # vv^T has sqrt factor (v v^T)/||v|| (rank-1 column scaled to norm).
-        return sqrt_sum(chol, jnp.outer(v, v) / norm)
+        # Guard eps = 0 (exact steps, t=0): the factor is 0 there, and the
+        # unguarded v/||v|| has a NaN gradient at the origin even when the
+        # primal is finite (the reference inherits this flaw, outer.py:56-60).
+        norm2 = v @ v
+        safe = jnp.where(norm2 > 0.0, norm2, 1.0)
+        factor = jnp.where(norm2 > 0.0, jnp.outer(v, v) / jnp.sqrt(safe), 0.0)
+        return sqrt_sum(chol, factor)
 
     def sample(self, key: jax.Array, eps: jax.Array) -> jax.Array:
         # Exact rank-1 draw: z * v with scalar z ~ N(0, 1).

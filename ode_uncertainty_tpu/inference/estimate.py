@@ -111,7 +111,9 @@ def make_tempered_estimator(
         lbfgs_result,
     )
 
-    segment_iters = min(1, max_iter)
+    # First dispatch is compile-tainted, so start with a modest iteration
+    # budget and let the adaptive sizing below grow it toward target_s.
+    segment_iters = min(8, max(1, max_iter))
 
     def obj(p, gamma):
         return nll(p, q_sqrt, jnp.sqrt(gamma))

@@ -1,6 +1,6 @@
 """IO, config, profiling, debugging, checkpointing utilities."""
 
-from ode_uncertainty_tpu.utils.checkpoint import run_chunked
+from ode_uncertainty_tpu.utils.checkpoint import run_stage_grid
 from ode_uncertainty_tpu.utils.config import config_cli, instantiate, load_config, parse_literal
 from ode_uncertainty_tpu.utils.debug import assert_finite, count_nonfinite, debug_nans, tap_stats
 from ode_uncertainty_tpu.utils.io import load_data, store_data

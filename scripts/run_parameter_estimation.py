@@ -83,58 +83,19 @@ def _initial_restarts(cfg, spec, dtype):
 
 def _optimize_checkpointed(cfg, stage_opt, spec, p0, gammas):
     """Runs the (restart-chunk x tempering-stage) grid with a durable sidecar
-    checkpoint after every unit; resumes completed units on restart."""
-    import jax
-    import numpy as np
-    from pathlib import Path
+    checkpoint and per-unit progress lines (utils/checkpoint.py)."""
+    from ode_uncertainty_tpu.utils.checkpoint import run_stage_grid
 
-    r, p_dim = p0.shape
-    s = int(gammas.shape[0])
-    chunk = int(cfg.get("restart_chunk", RESTART_CHUNK))
-    ck_path = Path(str(cfg["output"]) + ".units.npz")
-
-    def fresh():
-        return {
-            "p_current": np.asarray(p0, np.float64),  # params after last done stage
-            "stage_done": np.zeros((r, s), bool),
-            "params_optims": np.full((r, s, p_dim), np.nan),
-            "nll_optims": np.full((r, s), np.nan),
-            "num_lbfgs_iters": np.zeros((r, s), np.int32),
-            "num_nll_evals": np.zeros((r, s), np.int32),
-        }
-
-    store = fresh()
-    if cfg.get("resume", True) and ck_path.exists():
-        with np.load(ck_path, allow_pickle=False) as z:
-            if z["stage_done"].shape == (r, s):
-                store = {k: z[k] for k in store}
-                print(f"resuming: {int(store['stage_done'].all(axis=1).sum())}/{r} restarts complete")
-
-    dtype = p0.dtype
-    for start in range(0, r, chunk):
-        stop = min(start + chunk, r)
-        for si in range(s):
-            if store["stage_done"][start:stop, si].all():
-                continue
-            p_in = jax.numpy.asarray(store["p_current"][start:stop], dtype)
-            res = stage_opt(p_in, gammas[si])
-            store["p_current"][start:stop] = np.asarray(res.x, np.float64)
-            store["params_optims"][start:stop, si] = np.asarray(spec.opt_to_physical(res.x))
-            store["nll_optims"][start:stop, si] = np.asarray(res.f)
-            store["num_lbfgs_iters"][start:stop, si] = np.asarray(res.iters)
-            store["num_nll_evals"][start:stop, si] = np.asarray(res.n_fev)
-            store["stage_done"][start:stop, si] = True
-            ck_path.parent.mkdir(parents=True, exist_ok=True)
-            np.savez(ck_path, **store)
-
-    ck_path.unlink(missing_ok=True)
-    return {
-        "params_inits": np.asarray(spec.opt_to_physical(p0)),
-        "params_optims": store["params_optims"],
-        "nll_optims": store["nll_optims"],
-        "num_lbfgs_iters": store["num_lbfgs_iters"],
-        "num_nll_evals": store["num_nll_evals"],
-    }
+    return run_stage_grid(
+        cfg["output"],
+        p0,
+        gammas,
+        stage_opt,
+        spec.opt_to_physical,
+        chunk=int(cfg.get("restart_chunk", RESTART_CHUNK)),
+        resume=cfg.get("resume", True),
+        tag=str(cfg.get("tag", cfg["output"])),
+    )
 
 
 def optimize(cfg) -> None:

@@ -217,34 +217,18 @@ def test_uniform_obs_fast_path_matches_generic():
     from ode_uncertainty_tpu.inference import ObsModel
 
     m, sol, spec, ekf, obs, state0, nll_fast, num_steps, x0 = _lv_problem()
-    # force the generic path by perturbing the flags pattern metadata only:
-    # rebuild with an obs model whose last flag is moved by one step
-    flags = np.asarray(obs.flags).copy()
-    idx = np.nonzero(flags)[0]
-    # keep identical observation schedule but break uniform detection by
-    # adding a dummy extra observation step right after the first one,
-    # pointing at the same row (mathematically different) -- instead, simply
-    # verify both paths on the same rig: generic via chunk of the plain impl
     from ode_uncertainty_tpu.inference.nll import make_nll
 
-    nll_generic = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
-    # monkeypatch: build a generic one by disabling detection
-    import ode_uncertainty_tpu.inference.nll as nll_mod
-
-    orig = np.nonzero
-    try:
-        np.nonzero = lambda a: (np.array([], dtype=int),)  # defeat detection
-        nll_nofast = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
-    finally:
-        np.nonzero = orig
+    nll_fast = make_nll(m, sol, ekf, spec, obs, state0, num_steps, fast_path=True)
+    nll_nofast = make_nll(m, sol, ekf, spec, obs, state0, num_steps, fast_path=False)
 
     q = jnp.diag(jnp.array([1.0, 1.0]))
     gam = jnp.asarray(0.1)
     p = spec.defaults_norm_opt() + jnp.array([0.02, -0.03])
-    v1 = float(nll_generic(p, q, gam))
+    v1 = float(nll_fast(p, q, gam))
     v2 = float(nll_nofast(p, q, gam))
     np.testing.assert_allclose(v1, v2, rtol=1e-10)
-    g1 = jax.grad(lambda z: nll_generic(z, q, gam))(p)
+    g1 = jax.grad(lambda z: nll_fast(z, q, gam))(p)
     g2 = jax.grad(lambda z: nll_nofast(z, q, gam))(p)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
 

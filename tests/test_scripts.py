@@ -107,6 +107,51 @@ def test_multicompartment_config_with_string_lists():
     np.testing.assert_allclose(np.asarray(m.params["g_Na"]), [25.0, 20.0])
 
 
+def test_c2_experiment_fidelity():
+    """The four multi-compartment problems must match the reference YAMLs:
+    heterogeneous per-compartment ground-truth parameters and
+    coupling_coeffs excluded from optimization (reference
+    configs/params/hodgkinhuxley2_c2_r4.yaml:17-36 + params_optimized,
+    configs/params/hodgkinhuxley6_c2_r1.yaml:29-32)."""
+    import experiments
+
+    from ode_uncertainty_tpu.inference import make_param_spec
+    from ode_uncertainty_tpu.utils.config import instantiate
+
+    ref_common = {
+        "A": [4.15e-5, 4.15e-5],
+        "g_Na": [25.0, 20.0],
+        "g_K": [7.0, 10.0],
+        "g_leak": [0.09, 0.11],
+        "E_K": [-107.0, -107.0],
+        "tau_max": [4e3, 4e3],
+    }
+    ref_by_variant = {
+        "r4": {**ref_common, "V_T": [-60.0, -60.0], "g_M": [0.01, 0.01], "g_L": [0.01, 0.01]},
+        "r1": {**ref_common, "V_T": [-70.0, -50.0], "g_M": [0.01, 0.1], "g_L": [0.1, 0.01]},
+    }
+    expected_opt = {
+        "hodgkinhuxley2_c2_r4": ("g_K", "g_K", "g_Na", "g_Na"),
+        "hodgkinhuxley3_c2_r4": ("g_K", "g_K", "g_Na", "g_Na", "g_leak", "g_leak"),
+        "hodgkinhuxley6_c2_r1": (
+            "V_T", "V_T", "g_K", "g_K", "g_L", "g_L",
+            "g_M", "g_M", "g_Na", "g_Na", "g_leak", "g_leak",
+        ),
+    }
+    for prob, opt_keys in expected_opt.items():
+        cfg = {k: instantiate(v) for k, v in experiments.params(prob).items()}
+        model = cfg["ode_builder"]
+        ref = ref_by_variant["r4" if "r4" in prob else "r1"]
+        for k, v in ref.items():
+            np.testing.assert_allclose(np.asarray(model.params[k]), v, err_msg=f"{prob}:{k}")
+        spec = make_param_spec(model.params, cfg["params_range"], cfg["params_optimized"])
+        assert spec.opt_keys == opt_keys, f"{prob}: {spec.opt_keys}"
+        assert "coupling_coeffs" not in spec.opt_keys
+    # the observation generator must use the same heterogeneous ground truth
+    gt_cfg = {k: instantiate(v) for k, v in experiments.noise_gt("hodgkinhuxley_c2_r4").items()}
+    np.testing.assert_allclose(np.asarray(gt_cfg["ode_builder"].params["g_Na"]), [25.0, 20.0])
+
+
 # ------------------------------------------------------------------ pipeline
 @pytest.mark.slow
 def test_end_to_end_pipeline(tmp_path):

@@ -10,7 +10,7 @@ from ode_uncertainty_tpu.utils import (
     benchmark,
     count_nonfinite,
     load_data,
-    run_chunked,
+    run_stage_grid,
     store_data,
 )
 
@@ -29,30 +29,52 @@ def test_h5_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["t"], data["t"])
 
 
-def test_run_chunked_resume(tmp_path):
+def test_run_stage_grid_resume(tmp_path):
+    """Per-(chunk x stage) checkpointing: a crash mid-sweep loses at most one
+    unit; the resumed run skips completed units and merges identically."""
+    import pathlib
+    from types import SimpleNamespace
+
     out = str(tmp_path / "res.h5")
+    p0 = np.linspace(0.1, 0.9, 10)[:, None]  # [R=10, P=1]
+    gammas = np.array([1e-2, 0.0])
     calls = []
 
-    def run_chunk(start, stop):
-        calls.append((start, stop))
-        if len(calls) == 3 and not getattr(run_chunk, "resumed", False):
-            raise RuntimeError("simulated crash")
-        return {"x": np.arange(start, stop, dtype=np.float64)}
+    def make_stage(crash_at=None):
+        def stage(p, gamma):
+            calls.append((float(np.asarray(p)[0, 0]), float(gamma)))
+            if crash_at is not None and len(calls) == crash_at:
+                raise RuntimeError("simulated crash")
+            x = np.asarray(p) * 0.5 + gamma
+            return SimpleNamespace(
+                x=x,
+                f=np.sum(x, axis=1),
+                iters=np.full(x.shape[0], 3, np.int32),
+                n_fev=np.full(x.shape[0], 7, np.int32),
+            )
 
+        return stage
+
+    logs = []
     try:
-        run_chunked(out, 10, 3, run_chunk)
+        run_stage_grid(out, p0, gammas, make_stage(crash_at=3), lambda z: z * 10,
+                       chunk=4, tag="t", log=logs.append)
     except RuntimeError:
         pass
-    # crash after 2 completed chunks; resume runs only the remaining ones
-    run_chunk.resumed = True
+    assert pathlib.Path(out + ".units.npz").exists()
+    n_before = len(calls)
     calls.clear()
-    merged = run_chunked(out, 10, 3, run_chunk)
-    assert calls == [(6, 9), (9, 10)]
-    np.testing.assert_array_equal(merged["x"], np.arange(10))
-    # checkpoint sidecar removed on success
-    import pathlib
-
-    assert not pathlib.Path(out + ".ckpt.npz").exists()
+    merged = run_stage_grid(out, p0, gammas, make_stage(), lambda z: z * 10,
+                            chunk=4, tag="t", log=logs.append)
+    # 3 chunks x 2 stages = 6 units; 2 done before the crash
+    assert n_before == 3 and len(calls) == 4
+    assert merged["params_optims"].shape == (10, 2, 1)
+    assert np.isfinite(merged["nll_optims"]).all()
+    # stage 1 result feeds stage 2: x2 = (x1*0.5 + g1)*0.5 + 0
+    expect1 = p0 * 0.5 + gammas[0]
+    np.testing.assert_allclose(merged["params_optims"][:, 1], expect1 * 0.5 * 10)
+    assert not pathlib.Path(out + ".units.npz").exists()
+    assert any("ETA" in line for line in logs)
 
 
 def test_count_nonfinite():
