@@ -1,9 +1,13 @@
-"""Headline benchmark: batched square-root-EKF filter throughput on TPU.
+"""Headline benchmark: the north-star estimation kernel on TPU.
 
-Metric (per BASELINE.json): EKF filter steps/sec on the parameter-estimation
-inner kernel — one NLL+gradient evaluation of the square-root EKF over the
-full time grid, batched over restarts. This is the per-iteration cost of the
-tempered L-BFGS that dominates end-to-end estimation wall-clock.
+Workload (per BASELINE.json / VERDICT round 1): one NLL+gradient evaluation
+of the square-root EKF over the full Hodgkin-Huxley ``full`` problem —
+n=8 state, 11 optimized parameters, Kvaerno3 (ESDIRK) implicit steps with
+Newton stage solves, tN=100 at h=0.01 (10^4 filter steps), a voltage
+observation at every step — batched over restarts. This is the
+per-iteration cost of the tempered L-BFGS on the hardest shipped experiment
+(configs/params/hodgkinhuxley11_full), i.e. the kernel that dominates
+end-to-end estimation wall-clock.
 
 vs_baseline: ratio against the single-chain, float64 CPU evaluation of the
 same kernel — the reference's execution model (one scipy L-BFGS-B restart
@@ -12,7 +16,8 @@ reference publishes no numbers and its pinned deps (diffrax/jaxopt/...) are
 not installed here (BASELINE.md), so the stand-in baseline is measured at
 bench time with identical numerics on this host's CPU.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line. Set ODEUQ_BENCH=lv for the round-1 explicit
+(RKF45, Lotka-Volterra) kernel instead.
 """
 
 import json
@@ -23,16 +28,18 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Workload: Lotka-Volterra estimation kernel (tN=20, h=0.01 -> 2000 filter
-# steps per NLL eval; reference config scale: configs/params/lotkavolterra2).
-NUM_STEPS = 2000
-H = 0.01
-BATCH = 8192  # restarts per batched eval on TPU
-TPU_REPS = 5
-CPU_REPS = 3
+# Workload scales mirror the shipped experiment configs
+# (configs/experiments.py params/hodgkinhuxley11_full, params/lotkavolterra2).
+WORKLOADS = {
+    # batch 128 is the measured throughput knee on the remote v5e (fwd
+    # saturates ~87k steps/s by 128; grad programs above 128 lanes trip
+    # "TPU worker crashed" on this runtime).
+    "hh_full": dict(steps=10000, h=0.01, batch=128, tpu_reps=3, cpu_reps=1, cpu_steps=1000),
+    "lv": dict(steps=2000, h=0.01, batch=8192, tpu_reps=5, cpu_reps=3, cpu_steps=2000),
+}
 
 
-def _build(dtype_str, batch):
+def _build(workload, dtype_str, batch, steps=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -42,27 +49,57 @@ def _build(dtype_str, batch):
     from ode_uncertainty_tpu.inference import make_nll, make_obs_model, make_param_spec
     from ode_uncertainty_tpu.ops import const_diag
 
+    w = WORKLOADS[workload]
+    num_steps = steps or w["steps"]
+    h = w["h"]
     dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
-    m = models.lotka_volterra()
-    sol = solvers.rkf45(step_size=H)
-    x0 = jnp.array([[1.0, 1.0]], dtype)
-    gt = solvers.solve(sol, m, 0.0, x0, NUM_STEPS)
-    idx = np.arange(10, NUM_STEPS + 1, 10)
+
+    if workload == "hh_full":
+        m = models.hodgkin_huxley("full")
+        sol = solvers.kvaerno3(step_size=h)
+        x0 = m.build_initial_value(jnp.array([[-70.0]], dtype), m.params).astype(dtype)
+        n = 8
+        h_mat = np.zeros((1, n))
+        h_mat[0, 0] = 1.0
+        obs_every = 1
+        noise = 0.1
+        # Exactly the params/hodgkinhuxley11_full surface (11 optimized).
+        opt = {
+            k: k in ("g_Na", "E_Na", "g_K", "E_K", "g_leak", "E_leak", "V_T", "g_M", "g_L", "E_Ca", "g_T")
+            for k in m.params
+        }
+        rng_lo_hi = {
+            "C": (0.4, 3.0), "A": (1.9e-5, 3.02e-4), "g_Na": (0.5, 80.0), "E_Na": (50.0, 100.0),
+            "g_K": (1e-4, 15.0), "E_K": (-110.0, -70.0), "g_leak": (1e-4, 0.6),
+            "E_leak": (-100.0, -35.0), "V_T": (-90.0, -40.0), "g_M": (1e-4, 0.6),
+            "tau_max": (50.0, 5000.0), "g_L": (-1e-4, 0.6), "E_Ca": (100.0, 150.0),
+            "g_T": (-1e-4, 0.6), "V_x": (0.0, 4.0),
+        }
+    else:
+        m = models.lotka_volterra()
+        sol = solvers.rkf45(step_size=h)
+        x0 = jnp.array([[1.0, 1.0]], dtype)
+        n = 2
+        h_mat = np.eye(2)
+        obs_every = 10
+        noise = 0.1
+        opt = {"alpha": True, "beta": True, "gamma": False, "delta": False}
+        rng_lo_hi = {k: (0.1, 5.0) for k in m.params}
+
+    gt = solvers.solve(sol, m, 0.0, x0, num_steps)
+    idx = np.arange(obs_every, num_steps + 1, obs_every)
     rng = np.random.default_rng(0)
+    # Full-state rows + noise; the obs model applies the measurement matrix
+    # itself (same schema as results/noise_gt H5 files).
     ys_raw = np.asarray(gt["x"])[idx].reshape(len(idx), -1)
-    ys_raw = ys_raw + 0.1 * rng.standard_normal(ys_raw.shape)
-    obs = make_obs_model(np.eye(2), np.asarray(gt["t"])[idx], ys_raw, 0.01, 0.0, H, NUM_STEPS, dtype=dtype)
-    spec = make_param_spec(
-        m.params,
-        {k: (0.1, 5.0) for k in m.params},
-        {"alpha": True, "beta": True, "gamma": False, "delta": False},
-        dtype=dtype,
-    )
+    ys_raw = ys_raw + np.sqrt(noise) * rng.standard_normal(ys_raw.shape)
+    obs = make_obs_model(h_mat, np.asarray(gt["t"])[idx], ys_raw, noise, 0.0, h, num_steps, dtype=dtype)
+    spec = make_param_spec(m.params, rng_lo_hi, opt, dtype=dtype)
     ekf = SqrtEKF(disable_cov_update=True)
-    state0 = ekf.init_state(0.0, x0, const_diag(2, 1e-6, dtype), 2)
-    nll = make_nll(m, sol, ekf, spec, obs, state0, NUM_STEPS)
-    q = jnp.diag(jnp.ones(2, dtype))
-    gam = jnp.asarray(0.1, dtype)
+    state0 = ekf.init_state(0.0, x0, const_diag(n, 1e-12, dtype), obs.obs_dim)
+    nll = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
+    q = jnp.diag(jnp.ones(n, dtype))
+    gam = jnp.asarray(0.01, dtype)
 
     vg = jax.value_and_grad(lambda p: nll(p, q, gam))
     if batch > 1:
@@ -72,7 +109,7 @@ def _build(dtype_str, batch):
         fn = jax.jit(vg)
         p = spec.defaults_norm_opt().astype(dtype) * 0.9
 
-    return fn, p
+    return fn, p, num_steps
 
 
 def _time_evals(fn, p, reps):
@@ -86,18 +123,22 @@ def _time_evals(fn, p, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def measure_tpu():
+def measure_tpu(workload):
     import jax
 
     assert jax.default_backend() != "cpu", f"expected accelerator, got {jax.default_backend()}"
-    fn, p = _build("f32", BATCH)
-    dt = _time_evals(fn, p, TPU_REPS)
-    return NUM_STEPS * BATCH / dt
+    w = WORKLOADS[workload]
+    fn, p, num_steps = _build(workload, "f32", w["batch"])
+    dt = _time_evals(fn, p, w["tpu_reps"])
+    return num_steps * w["batch"] / dt
 
 
-def measure_cpu_subprocess():
+def measure_cpu_subprocess(workload):
     """Single-chain f64 CPU kernel in a fresh process (the reference's
-    execution model), returns steps/sec."""
+    execution model), returns steps/sec. For the implicit HH workload a
+    shorter horizon is timed (cost is linear in steps; full horizon is
+    minutes per grad on one CPU chain)."""
+    w = WORKLOADS[workload]
     code = (
         "import os\n"
         "os.environ['JAX_PLATFORMS']='cpu'\n"
@@ -106,13 +147,13 @@ def measure_cpu_subprocess():
         "jax.config.update('jax_enable_x64', True)\n"
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "import bench\n"
-        f"fn, p = bench._build('f64', 1)\n"
-        f"dt = bench._time_evals(fn, p, {CPU_REPS})\n"
-        f"print('CPU_STEPS_PER_SEC=' + str({NUM_STEPS} / dt))\n"
+        f"fn, p, steps = bench._build({workload!r}, 'f64', 1, steps={w['cpu_steps']})\n"
+        f"dt = bench._time_evals(fn, p, {w['cpu_reps']})\n"
+        "print('CPU_STEPS_PER_SEC=' + str(steps / dt))\n"
     )
     env = dict(os.environ)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=600
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=1800
     )
     for line in out.stdout.splitlines():
         if line.startswith("CPU_STEPS_PER_SEC="):
@@ -122,12 +163,18 @@ def measure_cpu_subprocess():
 
 def main():
     sys.path.insert(0, REPO)
-    cpu_sps = measure_cpu_subprocess()
-    tpu_sps = measure_tpu()
+    workload = os.environ.get("ODEUQ_BENCH", "hh_full")
+    cpu_sps = measure_cpu_subprocess(workload)
+    tpu_sps = measure_tpu(workload)
+    name = (
+        "hh_full_implicit_nll_grad_filter_steps_per_sec_batched"
+        if workload == "hh_full"
+        else "sqrt_ekf_nll_grad_filter_steps_per_sec_batched"
+    )
     print(
         json.dumps(
             {
-                "metric": "sqrt_ekf_nll_grad_filter_steps_per_sec_batched",
+                "metric": name,
                 "value": round(tpu_sps, 1),
                 "unit": "filter_steps/s",
                 "vs_baseline": round(tpu_sps / cpu_sps, 2),

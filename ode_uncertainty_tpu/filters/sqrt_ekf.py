@@ -95,18 +95,26 @@ class SqrtEKF:
 
             (x_next_f, eps_f), p_pred = push_sqrt(step_flat, state.x.reshape(n), state.P_sqrt)
 
-            q_active = jnp.any(jnp.abs(q_sqrt) >= _Q_ACTIVE_THRESHOLD)
+            # Guard on the EFFECTIVE noise gamma*Q, not Q alone (the
+            # reference conditions on Q_sqrt only, sqrt_ekf.py:109). At the
+            # final tempering stage gamma == 0 exactly; QR-summing with the
+            # zero block is well-defined forward but its backward pass has
+            # 1/(v'v)^2 Householder terms that overflow float32 when the
+            # surviving columns are ~1e-10 — the gradient turns NaN and the
+            # optimizer's last stage dies on lane one (measured, LV2 f32).
+            qg = gamma_sqrt * q_sqrt
+            q_active = jnp.any(jnp.abs(qg) >= _Q_ACTIVE_THRESHOLD)
             if disable:
                 p_new = lax.cond(
                     q_active,
-                    lambda p: sqrt_sum(p, gamma_sqrt * q_sqrt),
+                    lambda p: sqrt_sum(p, qg),
                     lambda p: p,
                     p_pred,
                 )
             else:
                 p_new = lax.cond(
                     q_active,
-                    lambda p: sqrt_sum(gamma_sqrt * q_sqrt, jnp.diag(eps_f), p),
+                    lambda p: sqrt_sum(qg, jnp.diag(eps_f), p),
                     lambda p: cov_update.apply_sqrt(p, eps_f),
                     p_pred,
                 )

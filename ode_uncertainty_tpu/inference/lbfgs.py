@@ -162,11 +162,18 @@ def lbfgs_box_segment(
             ok: jax.Array
             tries: jax.Array
 
+        # Sufficient-decrease slack at machine resolution: near-flat stages
+        # produce true decreases below the dtype's resolution of f (an f32
+        # NLL of ~1e3 cannot represent decreases under ~1e-4); without the
+        # slack those read as line-search failures and stall the lane far
+        # from the optimum (measured: LV2 f32 best-NLL 32 vs f64 -14.5).
+        f_slack = 16.0 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(st.f), 1.0)
+
         def ls_trial(alpha):
             x_t = proj(st.x + alpha * d)
             f_t, g_t = value_and_grad(x_t)
             # Armijo with the *projected* step (x_t - x).
-            decrease = f_t <= st.f + armijo_c1 * (st.g @ (x_t - st.x))
+            decrease = f_t <= st.f + armijo_c1 * (st.g @ (x_t - st.x)) + f_slack
             moved = jnp.max(jnp.abs(x_t - st.x)) > 0.0
             ok = decrease & moved & jnp.isfinite(f_t)
             return x_t, f_t, g_t, ok
@@ -192,7 +199,15 @@ def lbfgs_box_segment(
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
-        # On line-search failure: stall -> stop this lane.
+        # Line-search failure handling (parity with scipy L-BFGS-B's
+        # restart-on-failure): with quasi-Newton history present, a failed
+        # search usually means the curvature model is stale — clear the
+        # history so the next iteration backtracks along steepest descent.
+        # Only a failure ON the steepest-descent direction itself ends the
+        # lane. (The previous stop-on-first-failure rule truncated f32 runs
+        # mid-basin.)
+        reset = jnp.logical_not(ls.ok) & (st.count > 0)
+
         s_vec = ls.x_t - st.x
         y_vec = ls.g_t - st.g
         sy = s_vec @ y_vec
@@ -201,13 +216,14 @@ def lbfgs_box_segment(
         s_hist = jnp.where(good_curv, st.s_hist.at[st.head].set(s_vec), st.s_hist)
         y_hist = jnp.where(good_curv, st.y_hist.at[st.head].set(y_vec), st.y_hist)
         rho = jnp.where(good_curv, st.rho.at[st.head].set(1.0 / sy), st.rho)
-        head = jnp.where(good_curv, (st.head + 1) % m, st.head)
-        count = jnp.where(good_curv, jnp.minimum(st.count + 1, m), st.count)
+        head = jnp.where(reset, 0, jnp.where(good_curv, (st.head + 1) % m, st.head))
+        count = jnp.where(reset, 0, jnp.where(good_curv, jnp.minimum(st.count + 1, m), st.count))
 
         x_new = jnp.where(ls.ok, ls.x_t, st.x)
         f_new = jnp.where(ls.ok, ls.f_t, st.f)
         g_new = jnp.where(ls.ok, ls.g_t, st.g)
-        done = jnp.logical_not(ls.ok) | (pg_norm(x_new, g_new) <= tol)
+        failed_for_good = jnp.logical_not(ls.ok) & jnp.logical_not(reset)
+        done = failed_for_good | (pg_norm(x_new, g_new) <= tol)
 
         return _State(
             x=x_new,

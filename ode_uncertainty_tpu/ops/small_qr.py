@@ -32,9 +32,21 @@ def qr_r_small(a: jax.Array) -> jax.Array:
     m, n = a.shape[-2], a.shape[-1]
     if m < n:
         raise ValueError(f"qr_r_small requires m >= n, got {(m, n)}")
-    eps = jnp.asarray(1e-30 if a.dtype == jnp.float64 else 1e-30, a.dtype)
 
-    r = a
+    # Scale-equivariant sweep: factor out the matrix magnitude so the
+    # reflectors operate at O(1). Without this, factors of magnitude ~1e-10
+    # (a resting filter covariance sqrt) give vnorm_sq ~ 1e-20, whose
+    # BACKWARD pass terms ~ 1/vnorm_sq^2 overflow float32 and poison the
+    # whole NLL gradient with NaN (qr(c*A) = c*qr(A), so rescaling is exact).
+    scale = jnp.max(jnp.abs(a), axis=(-2, -1), keepdims=True)
+    scale = jnp.where(scale > 0.0, scale, 1.0)
+    # Zero-column guard at machine resolution relative to the scaled matrix:
+    # a column below ~4*ulp contributes < eps^2 to the covariance sum —
+    # numerically zero — and keeping the threshold this high keeps the
+    # backward's 1/vnorm_sq^2 far from the dtype's overflow range.
+    eps = jnp.asarray((4.0 * jnp.finfo(a.dtype).eps) ** 2, a.dtype)
+
+    r = a / scale
     for j in range(n):
         # Householder reflector zeroing r[..., j+1:, j] against r[..., j, j].
         col = r[..., j:, j]  # [..., m-j]
@@ -56,7 +68,7 @@ def qr_r_small(a: jax.Array) -> jax.Array:
         )
         r = r.at[..., j:, j:].set(block)
 
-    return r[..., :n, :]
+    return r[..., :n, :] * scale
 
 
 def use_unrolled(m: int, n: int) -> bool:

@@ -131,12 +131,34 @@ def parse_literal(value: Optional[str]):
     return ast.literal_eval(value)
 
 
+def apply_runtime_config(raw: Dict[str, Any]) -> None:
+    """Applies platform/precision pins BEFORE any jax array is created.
+
+    Must run before :func:`instantiate`: building model/solver objects
+    creates jax arrays, which initializes the backend — after which
+    ``jax_platforms`` is frozen and pre-existing arrays keep their dtype.
+    (The axon sitecustomize otherwise routes everything to the remote TPU,
+    and ``float64: true`` configs would get f32 model parameters.)
+    """
+    import os
+
+    import jax
+
+    platform = raw.get("platform") or os.environ.get("ODEUQ_PLATFORM")
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
+    if raw.get("float64", False):
+        jax.config.update("jax_enable_x64", True)
+
+
 def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Loads a YAML config into a kwargs dict with objects instantiated."""
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     if overrides:
         raw.update({k: v for k, v in overrides.items() if v is not None})
+    apply_runtime_config(raw)
     return {k: instantiate(v) for k, v in raw.items()}
 
 
@@ -182,6 +204,7 @@ def config_cli(
 
         raw = experiments.build(ns.experiment)
         raw.update({k: v for k, v in overrides.items() if v is not None})
+        apply_runtime_config(raw)
         cfg = {k: instantiate(v) for k, v in raw.items()}
     if extra_args:
         for k, v in extra_args.items():

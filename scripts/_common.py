@@ -22,6 +22,14 @@ def setup_precision(cfg) -> "object":
     """
     import jax
 
+    # Optional platform pin (cfg 'platform' or ODEUQ_PLATFORM env). Forcing
+    # CPU needs BOTH the env var and the config update before backend init
+    # (the axon sitecustomize otherwise routes to the remote TPU).
+    platform = cfg.get("platform") or os.environ.get("ODEUQ_PLATFORM")
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = os.environ.get("ODEUQ_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -112,12 +112,25 @@ def optimize(cfg) -> None:
 
     from ode_uncertainty_tpu.inference import EstimationResult
     from ode_uncertainty_tpu.inference.estimate import make_stage_optimizer
+    from ode_uncertainty_tpu.inference.lbfgs_host import make_stage_optimizer_host
 
     # One tempering stage of one restart chunk is the checkpoint unit: the
     # TPU tunnel in this environment kills long-lived client sessions (~10
     # min), so progress must be durable at finer granularity than a full
     # (restarts x stages) sweep.
-    stage_opt = make_stage_optimizer(
+    #
+    # Optimizer mode: the on-device while-loop L-BFGS is one XLA program per
+    # stage (ideal on healthy runtimes and the CPU mesh), but the remote-TPU
+    # stack here kernel-faults on vmap(while(grad(scan))) programs at any
+    # batch width. "auto" therefore drives the loop from the host on
+    # accelerators — every dispatched program is a plain batched NLL(+grad),
+    # which this runtime executes reliably (see inference/lbfgs_host.py).
+    mode = cfg.get("optimizer_mode", "auto")
+    import jax as _jax
+
+    use_host = mode == "host" or (mode == "auto" and _jax.default_backend() != "cpu")
+    make = make_stage_optimizer_host if use_host else make_stage_optimizer
+    stage_opt = make(
         nll,
         q_sqrt,
         max_iter=cfg.get("lbfgs_maxiter", 200),

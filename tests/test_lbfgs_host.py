@@ -1,0 +1,134 @@
+"""Host-driven batched L-BFGS (inference/lbfgs_host.py).
+
+The host optimizer is the production estimation path on the remote-TPU
+runtime (see module docstring); these tests pin its optimization quality
+and its dispatch-economy devices (optimistic unit step, bucket compaction,
+stall stop) on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ode_uncertainty_tpu.inference.lbfgs_host import lbfgs_box_host, make_stage_optimizer_host
+
+
+def _wrap(obj):
+    """Builds the two device callables from a scalar objective."""
+    vg = jax.jit(jax.vmap(jax.value_and_grad(obj)))
+    fk = jax.jit(jax.vmap(jax.vmap(obj)))
+
+    def vg_b(x):
+        return vg(jnp.asarray(x))
+
+    def fk_b(x):
+        return fk(jnp.asarray(x))
+
+    return vg_b, fk_b
+
+
+def test_quadratic_batched():
+    target = jnp.array([0.3, 0.7, 0.5])
+
+    def obj(p):
+        return jnp.sum((p - target) ** 2)
+
+    vg_b, fk_b = _wrap(obj)
+    x0 = np.random.default_rng(0).uniform(0, 1, (17, 3))
+    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8)
+    assert res.converged.all()
+    np.testing.assert_allclose(res.x, np.tile(np.asarray(target), (17, 1)), atol=1e-6)
+    # quadratic: quasi-Newton solves it in a few iterations
+    assert res.iters.max() <= 20
+
+
+def test_box_active_constraints():
+    # Unconstrained optimum outside the box -> projected optimum at corner.
+    def obj(p):
+        return jnp.sum((p - 2.0) ** 2)
+
+    vg_b, fk_b = _wrap(obj)
+    res = lbfgs_box_host(vg_b, fk_b, np.full((4, 2), 0.5), f32=False, tol=1e-8)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-8)
+    assert res.converged.all()
+
+
+def test_rosenbrock_valley():
+    def obj(p):
+        # Rosenbrock shifted into [0,1]^2: optimum at (0.7, 0.49... scaled)
+        a, b = 0.7, 10.0
+        return (p[0] - a) ** 2 + b * (p[1] - p[0] ** 2) ** 2
+
+    vg_b, fk_b = _wrap(obj)
+    x0 = np.random.default_rng(1).uniform(0, 1, (8, 2))
+    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8, max_iter=400)
+    np.testing.assert_allclose(res.x[:, 0], 0.7, atol=1e-4)
+    np.testing.assert_allclose(res.x[:, 1], 0.49, atol=1e-4)
+
+
+def test_compaction_matches_uncompacted():
+    # Mixed-difficulty batch: some lanes converge immediately, others take
+    # many iterations -> compaction kicks in. Results must be identical.
+    def obj(p):
+        return (p[0] - 0.5) ** 2 + 30.0 * (p[1] - p[0] ** 2) ** 2
+
+    vg_b, fk_b = _wrap(obj)
+    x0 = np.random.default_rng(2).uniform(0, 1, (33, 2))
+    x0[::3] = [0.5, 0.25]  # a third of the lanes start at the optimum
+    r1 = lbfgs_box_host(vg_b, fk_b, x0.copy(), f32=False, tol=1e-8, compact=True)
+    r2 = lbfgs_box_host(vg_b, fk_b, x0.copy(), f32=False, tol=1e-8, compact=False)
+    np.testing.assert_array_equal(r1.x, r2.x)
+    np.testing.assert_array_equal(r1.iters, r2.iters)
+    np.testing.assert_array_equal(r1.n_fev, r2.n_fev)
+
+
+def test_optimistic_step_dispatch_economy():
+    # On a well-conditioned quadratic the unit step is accepted every
+    # iteration after the first: n_fev stays ~2 per iteration (one vg at
+    # the trial; no K-block forwards).
+    def obj(p):
+        return jnp.sum((p - 0.4) ** 2)
+
+    vg_b, fk_b = _wrap(obj)
+    res = lbfgs_box_host(vg_b, fk_b, np.full((3, 4), 0.9), f32=False, tol=1e-10)
+    assert res.converged.all()
+    # 1 initial + ~1 per iteration (unit step accepted; no line-search blocks)
+    assert (res.n_fev <= res.iters + 3).all(), (res.n_fev, res.iters)
+
+
+def test_stall_stop_cuts_flat_grind():
+    # f32 slack on a nearly-flat objective: without the stall stop the lane
+    # grinds to max_iter taking accepted-but-zero-progress steps.
+    def obj(p):
+        return 1000.0 + 1e-4 * jnp.sum((p - 0.5) ** 2)
+
+    vg_b, fk_b = _wrap(obj)
+    res = lbfgs_box_host(
+        vg_b, fk_b, np.full((2, 2), 0.9), f32=True, tol=0.0, max_iter=200, stall_iters=5
+    )
+    assert (res.iters < 50).all(), res.iters
+
+
+def test_nan_objective_is_linesearch_wall():
+    # NaN region acts as a rejected step, not a crash.
+    def obj(p):
+        v = jnp.sum((p - 0.2) ** 2)
+        return jnp.where(p[0] > 0.8, jnp.nan, v)
+
+    vg_b, fk_b = _wrap(obj)
+    x0 = np.array([[0.75, 0.3], [0.3, 0.3]])
+    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8)
+    assert np.isfinite(res.f).all()
+    np.testing.assert_allclose(res.x, 0.2, atol=1e-5)
+
+
+def test_stage_optimizer_host_recovers_quadratic():
+    # Through the stage-optimizer wrapper (gamma-parameterized objective).
+    def nll(p, q_sqrt, gamma_sqrt):
+        return jnp.sum((p - 0.6) ** 2) * (1.0 + gamma_sqrt)
+
+    stage = make_stage_optimizer_host(nll, jnp.eye(2), max_iter=50, tol=1e-8)
+    x0 = np.random.default_rng(3).uniform(0, 1, (5, 2))
+    res = stage(x0, 0.01)
+    np.testing.assert_allclose(res.x, 0.6, atol=1e-6)
