@@ -3,6 +3,7 @@
 from ode_uncertainty_tpu.parallel.mesh import (
     RESTART_AXIS,
     device_mesh,
+    make_sharded_nll_landscape,
     make_sharded_tempered_estimator,
     replicated,
     restart_sharding,
@@ -12,6 +13,7 @@ from ode_uncertainty_tpu.parallel.mesh import (
 __all__ = [
     "RESTART_AXIS",
     "device_mesh",
+    "make_sharded_nll_landscape",
     "make_sharded_tempered_estimator",
     "replicated",
     "restart_sharding",

@@ -103,6 +103,35 @@ def make_sharded_tempered_estimator(
     return estimate
 
 
+def make_sharded_nll_landscape(nll, q_sqrt, mesh: Mesh):
+    """Mesh-sharded variant of
+    :func:`ode_uncertainty_tpu.inference.nll.make_nll_landscape`:
+    ``run(grid [G, P], gammas [S]) -> [S, G]`` with the grid axis laid over
+    the mesh (G must be a multiple of the mesh size — pad with a repeated
+    row and discard). Each device evaluates its grid shard for every
+    tempering stage; no collectives until the final gather.
+
+    Reference analog: the process-pool parameter sweep of
+    run_parameter_estimation.py evaluate (scripts/run_parameter_estimation.py:
+    266-272), one grid point per worker.
+    """
+    import jax.numpy as jnp
+
+    rs = restart_sharding(mesh)
+    rep = replicated(mesh)
+    out_sh = NamedSharding(mesh, P(None, RESTART_AXIS))
+
+    def _scan_gammas(grid, gammas):
+        def one_gamma(carry, gamma):
+            vals = jax.vmap(lambda p: nll(p, q_sqrt, jnp.sqrt(gamma)))(grid)
+            return carry, vals
+
+        _, rows = lax.scan(one_gamma, None, gammas)
+        return rows
+
+    return jax.jit(_scan_gammas, in_shardings=(rs, rep), out_shardings=out_sh)
+
+
 def partial_jit_with_shardings(restart_shard, rep):
     """jit decorator: first arg restart-sharded, second replicated; outputs
     restart-sharded on their leading axis except the gamma vector."""

@@ -9,11 +9,17 @@ Hodgkin-Huxley runs). Two deliberate upgrades:
     stiff configs. Here the embedded 2nd-order solution provides
     ``eps = |x_hat - x_next|`` exactly as for the explicit pairs.
   * **batched fixed-iteration simplified Newton**: one Jacobian per step
-    (forward-mode, tiny ND x ND), one LU factorization of ``I - h*gamma*J``
-    reused across stages and iterations. Fixed iteration counts keep the
-    program static-shaped, fully ``vmap``-able across 1k-wide batches, and
-    differentiable by plain unrolling (no implicit-function custom VJP
-    needed at these sizes).
+    (forward-mode, tiny ND x ND), one explicit inverse of ``I - h*gamma*J``
+    (unrolled Gauss-Jordan, ops/small_inv.py) reused across stages and
+    iterations — every Newton update is then a single fused matvec. Fixed
+    iteration counts keep the program static-shaped and fully ``vmap``-able.
+  * **implicit-function derivatives with one inverse per stage**: the stage
+    solve carries a ``jax.custom_jvp`` rule — tangents/cotangents apply the
+    explicitly-inverted Jacobian at the *solution* point (exact implicit
+    derivative), so the n-column covariance pushforward and the NLL
+    gradient reuse one [n, n] inverse instead of one LAPACK solve per
+    tangent. Inside a 10^4-step scan this is the difference between a
+    latency-bound and a compute-bound filter step.
 
 Tableau: Kvaerno (2004) ESDIRK 3(2), stiffly accurate, same method family
 the reference selects by name ("Kvaerno3").
@@ -25,9 +31,10 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+from jax import lax
 
 from ode_uncertainty_tpu.models.base import ODEFn, Params
+from ode_uncertainty_tpu.ops.small_inv import inv_small
 
 # Kvaerno 3(2) coefficients.
 _GAMMA = 0.4358665215084590
@@ -40,6 +47,50 @@ _A = (
 _B_SOL = _A[3]  # stiffly accurate: propagated solution = last stage row
 _B_ERR = _A[2] + ()  # embedded 2nd-order solution = 3rd stage row
 _C = (0.0, 2.0 * _GAMMA, 1.0, 1.0)
+
+
+def _make_stage_solver(f_flat, newton_iters: int):
+    """Builds the custom-differentiable stage solve.
+
+    Everything traced (t_i, known, params, z0, minv, h_gamma) is an explicit
+    argument: ``jax.custom_jvp`` functions must not close over tracers
+    (closed-over values escape the defining trace when the jvp rule runs).
+    ``f_flat`` and ``newton_iters`` are static.
+    """
+
+    @jax.custom_jvp
+    def stage_solve(t_i, known, p, z0, minv, h_gamma):
+        """Solves z = known + h_gamma*f(t_i, z, p) by fixed-iteration
+        simplified Newton (minv = inv(I - h_gamma*J_base))."""
+
+        def newton_iter(_, z):
+            r = z - known - h_gamma * f_flat(t_i, z, p)
+            return z - minv @ r
+
+        return lax.fori_loop(0, newton_iters, newton_iter, z0)
+
+    @stage_solve.defjvp
+    def stage_solve_jvp(primals, tangents):
+        """Implicit-function derivative: dz = (I - hg*J(z*))^-1 dG with
+        G(t_i, known, p, hg) = known + hg*f(t_i, z*, p) holding z* fixed.
+        One Jacobian + one unrolled inverse per stage serves every tangent
+        column and every cotangent (the rule is linear in the tangents, so
+        JAX transposes it for reverse mode)."""
+        t_i, known, p, z0, minv, h_gamma = primals
+        dt_i, dknown, dp, _, _, dh_gamma = tangents
+        z = stage_solve(t_i, known, p, z0, minv, h_gamma)
+        n = known.shape[-1]
+        eye = jnp.eye(n, dtype=known.dtype)
+        jac_sol = jax.jacfwd(lambda zz: f_flat(t_i, zz, p))(z)
+        minv_sol = inv_small(eye - h_gamma * jac_sol)
+
+        def g(ti_, known_, p_, hg_):
+            return known_ + hg_ * f_flat(ti_, z, p_)
+
+        _, dg = jax.jvp(g, (t_i, known, p, h_gamma), (dt_i, dknown, dp, dh_gamma))
+        return z, minv_sol @ dg
+
+    return stage_solve
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,44 +108,24 @@ class Kvaerno3:
         shape = x.shape
         n = x.size
         h = jnp.asarray(self.h, dtype=x.dtype)
+        h_gamma = h * _GAMMA
+        eye = jnp.eye(n, dtype=x.dtype)
 
-        def f_flat(ti, z):
-            return rhs(ti, z.reshape(shape), params).reshape(n)
+        def f_flat(ti, z, p):
+            return rhs(ti, z.reshape(shape), p).reshape(n)
 
         x0 = x.reshape(n)
 
-        # Simplified Newton: one Jacobian + LU at the step's base point.
-        jac = jax.jacfwd(lambda z: f_flat(t, z))(x0)  # [n, n]
-        m = jnp.eye(n, dtype=x.dtype) - (h * _GAMMA) * jac
-        m_lu = lu_factor(m)
+        # Simplified Newton: one Jacobian + one explicit inverse at the
+        # step's base point; every Newton update is then a fused matvec.
+        # The inverse is a pure iteration accelerant — derivatives never
+        # flow through it (stop_gradient below).
+        jac0 = jax.jacfwd(lambda z: f_flat(t, z, params))(x0)  # [n, n]
+        minv0 = lax.stop_gradient(inv_small(eye - h_gamma * jac0))
 
-        newton_iters = self.newton_iters
+        stage_solve = _make_stage_solver(f_flat, self.newton_iters)
 
-        def stage_solve(t_i, known, z0):
-            """Solves z = known + h*gamma*f(t_i, z).
-
-            Forward: fixed-iteration simplified Newton reusing the one LU.
-            Derivatives: implicit-function theorem via ``lax.custom_root`` —
-            one linear solve per tangent instead of differentiating through
-            the Newton iterations (compile size and grad cost of the
-            EKF/NLL paths drop by the iteration count).
-            """
-
-            def residual(z):
-                return z - known - (h * _GAMMA) * f_flat(t_i, z)
-
-            def solve(_, z):
-                def newton_iter(_, z):
-                    return z - lu_solve(m_lu, residual(z))
-
-                return jax.lax.fori_loop(0, newton_iters, newton_iter, z)
-
-            def tangent_solve(g_lin, y):
-                return jnp.linalg.solve(jax.jacfwd(g_lin)(y), y)
-
-            return jax.lax.custom_root(residual, z0, solve, tangent_solve)
-
-        ks = [f_flat(t, x0)]  # stage 1 is explicit (a11 = 0)
+        ks = [f_flat(t, x0, params)]  # stage 1 is explicit (a11 = 0)
         for i in range(1, 4):
             t_i = t + _C[i] * h
             known = x0
@@ -102,8 +133,8 @@ class Kvaerno3:
                 if _A[i][j] != 0.0:
                     known = known + (h * _A[i][j]) * ks[j]
 
-            z = stage_solve(t_i, known, known + (h * _GAMMA) * ks[i - 1])
-            ks.append(f_flat(t_i, z))
+            z = stage_solve(t_i, known, params, known + h_gamma * ks[i - 1], minv0, h_gamma)
+            ks.append(f_flat(t_i, z, params))
 
         x_next = x0
         err = jnp.zeros_like(x0)

@@ -19,8 +19,11 @@ for attempt in $(seq 1 40); do
     rm -f "$SEG"
     exit 0
   fi
-  echo "=== attempt $attempt died rc=$rc; retrying in 20s ===" >> "$LOG"
-  sleep 20
+  # A killed-mid-dispatch client wedges the remote TPU runtime for several
+  # minutes; retrying immediately just hangs the next attempt's first
+  # dispatch. Wait out the recovery window.
+  echo "=== attempt $attempt died rc=$rc; retrying in 240s ===" >> "$LOG"
+  sleep 240
 done
 echo "=== GAVE UP $(date +%T) ===" >> "$LOG"
 exit 1

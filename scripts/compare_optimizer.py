@@ -79,13 +79,20 @@ def main():
     cfg_raw = experiments.build(args.experiment)
     cfg_raw["float64"] = True
     cfg_raw["num_random_runs"] = args.restarts
-    from ode_uncertainty_tpu.utils.config import instantiate
+    from ode_uncertainty_tpu.utils.config import apply_runtime_config, instantiate
 
+    # Platform/precision pins MUST precede instantiate: building model/
+    # solver objects creates jax arrays, which freezes the backend choice
+    # (and the axon sitecustomize would freeze it to the remote TPU).
+    apply_runtime_config(cfg_raw)
     cfg = {k: instantiate(v) for k, v in cfg_raw.items()}
     dtype = setup_precision(cfg)
 
     import jax
     import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()} x64={jax.config.read('jax_enable_x64')}", flush=True)
+    assert jax.default_backend() == "cpu", "parity comparison must run on CPU"
 
     from run_parameter_estimation import _build_rig, _gammas, _initial_restarts
 

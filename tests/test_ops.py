@@ -234,3 +234,36 @@ def test_scalar_observation_paths():
     for i, (c, v) in enumerate([(0.5, 1.0), (2.0, 3.0)]):
         want = 0.5 * (v / c) ** 2 + 0.5 * np.log(2 * np.pi) + np.log(c)
         np.testing.assert_allclose(float(got[i]), want, rtol=1e-12)
+
+
+class TestInvSmall:
+    def test_matches_linalg_inv_batched(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from ode_uncertainty_tpu.ops.small_inv import inv_small
+
+        rng = np.random.default_rng(0)
+        for n in (1, 2, 4, 8):
+            # diagonally dominant (the simplified-Newton regime)
+            a = np.eye(n) + 0.2 * rng.standard_normal((64, n, n))
+            got = np.asarray(inv_small(jnp.asarray(a)))
+            want = np.linalg.inv(a)
+            np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_gradients_flow(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ode_uncertainty_tpu.ops.small_inv import inv_small
+
+        a = jnp.eye(3) * 2.0 + 0.1
+        g = jax.grad(lambda m: jnp.sum(inv_small(m) ** 2))(a)
+        # d/dA sum(inv(A)^2): check against finite differences
+        eps = 1e-6
+        fd = np.zeros((3, 3))
+        base = float(jnp.sum(inv_small(a) ** 2))
+        for i in range(3):
+            for j in range(3):
+                ap = a.at[i, j].add(eps)
+                fd[i, j] = (float(jnp.sum(inv_small(ap) ** 2)) - base) / eps
+        np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4, atol=1e-6)
