@@ -147,6 +147,7 @@ def measure_cpu_subprocess(workload):
         "jax.config.update('jax_enable_x64', True)\n"
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "import bench\n"
+        "bench._enable_compile_cache()\n"
         f"fn, p, steps = bench._build({workload!r}, 'f64', 1, steps={w['cpu_steps']})\n"
         f"dt = bench._time_evals(fn, p, {w['cpu_reps']})\n"
         "print('CPU_STEPS_PER_SEC=' + str(steps / dt))\n"
@@ -161,8 +162,25 @@ def measure_cpu_subprocess(workload):
     raise RuntimeError(f"CPU baseline failed:\n{out.stdout}\n{out.stderr}")
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the HH-full NLL+grad program takes tens
+    of minutes to compile on the remote-TPU stack (measured ~40 min); with
+    the cache, a pre-warmed run makes subsequent bench invocations start in
+    seconds."""
+    import jax
+
+    cache_dir = os.environ.get("ODEUQ_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     sys.path.insert(0, REPO)
+    _enable_compile_cache()
     workload = os.environ.get("ODEUQ_BENCH", "hh_full")
     cpu_sps = measure_cpu_subprocess(workload)
     tpu_sps = measure_tpu(workload)

@@ -4,19 +4,23 @@ Functional equivalent of the reference's deprecated GMM-EKF
 (/root/reference/src/filters/deprecated/gmm_ekf.py): a bank of sqrt-EKF
 components whose population adapts to the local nonlinearity —
 
-  * **split** (gmm_ekf.py:326-371): the most nonlinear component (estimated
-    by a look-ahead second-difference of the RHS, :234-282) splits along its
-    covariance's top eigenvector; the covariance loses the displaced rank-1
-    term via a Cholesky downdate.
-  * **merge** (:53-152): the closest valid pair under Jeffrey divergence is
-    moment-matched into one component.
-  * **invalidate** (:198-232): components far from the mixture mean (scaled
-    Euclidean distance) are dropped.
+  * **split** (gmm_ekf.py:326-371, :455-560): every component whose
+    look-ahead nonlinearity estimate (second-difference of the RHS,
+    :234-282) exceeds the threshold splits along its covariance's top
+    eigenvector, most-nonlinear first, bounded by free capacity; the
+    covariance loses the displaced rank-1 term via a Cholesky downdate.
+  * **merge** (:53-152, :285-323): all sufficiently-close pairs under
+    Jeffrey divergence are moment-matched greedily (closest pair first,
+    each component in at most one pair per step); components slated for
+    splitting are excluded from merging (:536-541).
+  * **invalidate** (:198-232, :516-520): components with non-finite means,
+    below-minimum weight, or farther than the distance threshold from
+    EVERY other component (any-dimension absolute delta) are dropped.
 
 TPU-first re-design: the component bank has a **static capacity K** with an
-active mask (the reference grows/shrinks arrays). One split and one merge per
-step (the reference merges greedily in pairs with a scan); weights and
-moments are updated with masked arithmetic, so the whole filter stays inside
+active mask (the reference grows/shrinks arrays and pads per step). The
+greedy pairwise merge runs as an unrolled K/2-round sweep with masked
+arithmetic; splits scatter into free slots by rank. Everything stays inside
 ``jit``/``vmap``.
 """
 
@@ -99,86 +103,123 @@ class GMMSqrtEKF:
         nl = jax.vmap(one)(state.means)
         return jnp.where(state.active, nl, -jnp.inf)
 
-    def _split_one(self, state: GMMState, nl: jax.Array) -> GMMState:
-        """Splits the most nonlinear component into a free slot (if any)."""
-        src = jnp.argmax(nl)
-        free = jnp.argmin(state.active)  # first inactive slot
-        can = (~jnp.all(state.active)) & (nl[src] > self.nl_threshold)
-
-        n = state.P_sqrt.shape[-1]
-        chol = state.P_sqrt[src]
-        evals, evecs = jnp.linalg.eigh(chol @ chol.T)
-        lam = evals[-1]
-        d = evecs[:, -1]
-        disp = self.split_displacement * jnp.sqrt(jnp.maximum(lam, 0.0)) * d
-        chol_zero = jnp.all(jnp.abs(chol) < 1e-6)
-        chol_dn = jnp.where(
-            chol_zero,
-            chol,
-            chol_update(chol, d, -(self.split_displacement**2) * lam),
-        )
-        chol_dn = jnp.where(jnp.all(jnp.isfinite(chol_dn)), chol_dn, chol)
-
-        mean_src = state.means[src]
-        dm = disp.reshape(mean_src.shape)
-        w_half = state.weights[src] * 0.5
-
-        def apply(s: GMMState) -> GMMState:
-            means = s.means.at[src].set(mean_src + dm).at[free].set(mean_src - dm)
-            chols = s.P_sqrt.at[src].set(chol_dn).at[free].set(chol_dn)
-            weights = s.weights.at[src].set(w_half).at[free].set(w_half)
-            active = s.active.at[free].set(True)
-            return s.replace(means=means, P_sqrt=chols, weights=weights, active=active)
-
-        return jax.lax.cond(can, apply, lambda s: s, state)
-
-    def _merge_one(self, state: GMMState) -> GMMState:
-        """Moment-matches the closest pair under Jeffrey divergence."""
+    def _split_many(self, state: GMMState, nl: jax.Array) -> GMMState:
+        """Splits every component with nl > threshold, most nonlinear first,
+        bounded by free capacity (reference :326-371 + capacity logic
+        :543-556). The r-th-ranked splitter scatters its twin into the r-th
+        free slot."""
         k = self.max_components
-        flat = state.means.reshape(k, -1)
-        dist = jeffrey_gaussian_sqrt(
-            flat[:, None, :], flat[None, :, :], state.P_sqrt[:, None], state.P_sqrt[None, :]
+        order = jnp.argsort(-nl)  # descending nonlinearity
+        num_above = jnp.sum(nl > self.nl_threshold)
+        capacity = k - jnp.sum(state.active)
+        num_splits = jnp.minimum(num_above, capacity)
+
+        # rank of each component in the split order; rank < num_splits splits
+        rank = jnp.zeros(k, jnp.int32).at[order].set(jnp.arange(k, dtype=jnp.int32))
+        is_split = (rank < num_splits) & state.active
+
+        # r-th free slot (inactive), by position
+        free_order = jnp.argsort(state.active, stable=True)  # inactive slots first
+        # twin slot for each splitting component: free_order[rank]
+        twin = free_order[jnp.clip(rank, 0, k - 1)]
+
+        evals, evecs = jax.vmap(lambda c: jnp.linalg.eigh(c @ c.T))(state.P_sqrt)
+        lam = evals[:, -1]
+        d = evecs[:, :, -1]
+        disp = self.split_displacement * jnp.sqrt(jnp.maximum(lam, 0.0))[:, None] * d
+        chol_zero = jnp.all(jnp.abs(state.P_sqrt) < 1e-6, axis=(-2, -1))
+        chol_dn = jax.vmap(
+            lambda c, dd, ll: chol_update(c, dd, -(self.split_displacement**2) * ll)
+        )(state.P_sqrt, d, lam)
+        chol_dn = jnp.where(
+            (chol_zero | ~jnp.all(jnp.isfinite(chol_dn), axis=(-2, -1)))[:, None, None],
+            state.P_sqrt,
+            chol_dn,
         )
-        pair_ok = state.active[:, None] & state.active[None, :]
-        dist = jnp.where(pair_ok, dist, _BIG)
-        dist = jnp.where(jnp.eye(k, dtype=bool), _BIG, dist)
-        idx = jnp.argmin(dist)
-        i, j = jnp.unravel_index(idx, (k, k))
-        can = dist.reshape(-1)[idx] < self.merge_threshold
 
-        wi, wj = state.weights[i], state.weights[j]
-        w = wi + wj
-        safe_w = jnp.where(w > 0, w, 1.0)
-        mi, mj = flat[i], flat[j]
-        m = (wi * mi + wj * mj) / safe_w
-        # sqrt of the moment-matched covariance: stacked sqrt factors of the
-        # weighted components plus the two mean-offset rank-1 terms
-        di = (mi - m) * jnp.sqrt(wi / safe_w)
-        dj = (mj - m) * jnp.sqrt(wj / safe_w)
-        merged = sqrt_sum(
-            jnp.sqrt(wi / safe_w) * state.P_sqrt[i],
-            jnp.sqrt(wj / safe_w) * state.P_sqrt[j],
-            di[:, None],
-            dj[:, None],
-        )
+        dm = disp.reshape(state.means.shape)
+        means = jnp.where(is_split[:, None, None], state.means + dm, state.means)
+        chols = jnp.where(is_split[:, None, None], chol_dn, state.P_sqrt)
+        weights = jnp.where(is_split, state.weights * 0.5, state.weights)
 
-        def apply(s: GMMState) -> GMMState:
-            means = s.means.at[i].set(m.reshape(s.means.shape[1:]))
-            chols = s.P_sqrt.at[i].set(merged)
-            weights = s.weights.at[i].set(w).at[j].set(0.0)
-            active = s.active.at[j].set(False)
-            return s.replace(means=means, P_sqrt=chols, weights=weights, active=active)
+        # Scatter twins (mean - dm, same downdated chol, half weight) into
+        # the free slots; non-splitting rows scatter out of range (dropped).
+        tgt = jnp.where(is_split, twin, k)
+        means = means.at[tgt].set(state.means - dm, mode="drop")
+        chols = chols.at[tgt].set(chol_dn, mode="drop")
+        weights = weights.at[tgt].set(state.weights * 0.5, mode="drop")
+        active = state.active.at[tgt].set(True, mode="drop")
+        eps = state.eps.at[tgt].set(state.eps, mode="drop")
 
-        return jax.lax.cond(can, apply, lambda s: s, state)
+        return state.replace(means=means, P_sqrt=chols, weights=weights, active=active, eps=eps)
+
+    def _merge_pairs(self, state: GMMState, exclude: jax.Array) -> GMMState:
+        """Greedy pairwise merging: repeatedly moment-match the closest
+        still-unmerged pair under the Jeffrey threshold (reference
+        merge_2/compute_merge_mapping, :285-323 — all below-threshold pairs
+        merge in one step, each component in at most one pair). ``exclude``
+        masks components slated for splitting (:536-541)."""
+        k = self.max_components
+
+        def one_round(carry, _):
+            s, fresh = carry
+            flat = s.means.reshape(k, -1)
+            dist = jeffrey_gaussian_sqrt(
+                flat[:, None, :], flat[None, :, :], s.P_sqrt[:, None], s.P_sqrt[None, :]
+            )
+            ok = fresh[:, None] & fresh[None, :]
+            dist = jnp.where(ok & ~jnp.eye(k, dtype=bool), dist, _BIG)
+            idx = jnp.argmin(dist)
+            i, j = jnp.unravel_index(idx, (k, k))
+            can = dist.reshape(-1)[idx] < self.merge_threshold
+
+            wi, wj = s.weights[i], s.weights[j]
+            w = wi + wj
+            safe_w = jnp.where(w > 0, w, 1.0)
+            mi, mj = flat[i], flat[j]
+            m = (wi * mi + wj * mj) / safe_w
+            di = (mi - m) * jnp.sqrt(wi / safe_w)
+            dj = (mj - m) * jnp.sqrt(wj / safe_w)
+            merged = sqrt_sum(
+                jnp.sqrt(wi / safe_w) * s.P_sqrt[i],
+                jnp.sqrt(wj / safe_w) * s.P_sqrt[j],
+                di[:, None],
+                dj[:, None],
+            )
+
+            def apply(args):
+                s, fresh = args
+                means = s.means.at[i].set(m.reshape(s.means.shape[1:]))
+                chols = s.P_sqrt.at[i].set(merged)
+                weights = s.weights.at[i].set(w).at[j].set(0.0)
+                active = s.active.at[j].set(False)
+                # a merged component may not merge again this step
+                fresh = fresh.at[i].set(False).at[j].set(False)
+                return (
+                    s.replace(means=means, P_sqrt=chols, weights=weights, active=active),
+                    fresh,
+                )
+
+            return jax.lax.cond(can, apply, lambda a: a, (s, fresh)), None
+
+        fresh0 = state.active & ~exclude
+        (state, _), _ = jax.lax.scan(one_round, (state, fresh0), None, length=k // 2)
+        return state
 
     def _invalidate(self, state: GMMState) -> GMMState:
-        """Drops components far from the mixture mean (keeps at least one)."""
+        """Drops non-finite components and components farther than the
+        distance threshold from EVERY other active component in some
+        dimension (reference invalidate_by_distance, :198-232); keeps at
+        least one."""
         k = self.max_components
         flat = state.means.reshape(k, -1)
-        w = state.weights / jnp.maximum(jnp.sum(state.weights), 1e-30)
-        center = w @ flat
-        d = jnp.linalg.norm(flat - center[None, :], axis=-1)
-        keep = state.active & (d <= self.distance_threshold)
+        finite = jnp.all(jnp.isfinite(flat), axis=-1)
+        delta = jnp.abs(flat[None, :, :] - flat[:, None, :])  # [K, K, n]
+        far_pair = jnp.any(delta > self.distance_threshold, axis=-1)  # [K, K]
+        other_ok = state.active[None, :] & ~jnp.eye(k, dtype=bool)
+        # far from ALL other active components -> invalid
+        alone = jnp.all(far_pair | ~other_ok, axis=1) & jnp.any(other_ok, axis=1)
+        keep = state.active & finite & ~alone
         keep = jnp.where(jnp.any(keep), keep, state.active)  # never drop all
         weights = jnp.where(keep, state.weights, 0.0)
         total = jnp.maximum(jnp.sum(weights), 1e-30)
@@ -189,8 +230,10 @@ class GMMSqrtEKF:
         ekf_predict = self._ekf().make_predict(solver, rhs)
 
         def predict(state: GMMState, params, q_sqrt, gamma_sqrt) -> GMMState:
-            state = self._split_one(state, self._nonlinearity(solver, rhs, params, state))
-
+            # Reference order (_predict_jit, :455-560): propagate all
+            # components, invalidate, estimate nonlinearity, merge close
+            # pairs (split candidates excluded), then split into the slots
+            # freed by merging.
             def one(mean, chol, eps):
                 from ode_uncertainty_tpu.filters.sqrt_ekf import EKFState
 
@@ -209,8 +252,10 @@ class GMMSqrtEKF:
             state = state.replace(
                 t=state.t + solver.h, means=means, P_sqrt=chols, eps=eps
             )
-            state = self._merge_one(state)
-            return self._invalidate(state)
+            state = self._invalidate(state)
+            nl = self._nonlinearity(solver, rhs, params, state)
+            state = self._merge_pairs(state, exclude=nl > self.nl_threshold)
+            return self._split_many(state, nl)
 
         return predict
 

@@ -144,7 +144,7 @@ def test_gmm_split_preserves_moments():
     x0 = jnp.array([[1.0, 1.0, 1.0]])
     state = gmm.init_state(0.0, x0, const_diag(3, 0.3))
     nl = jnp.array([1.0, -jnp.inf, -jnp.inf, -jnp.inf])
-    split = gmm._split_one(state, nl)
+    split = gmm._split_many(state, nl)
     assert int(split.active.sum()) == 2
     np.testing.assert_allclose(float(split.weights.sum()), 1.0, rtol=1e-12)
     # mixture moments of the split equal the original component's moments
@@ -166,7 +166,7 @@ def test_gmm_merge_moment_matching():
         active=state.active.at[1].set(True),
     )
     before_mean, before_cov = GMMSqrtEKF.mixture_moments(state)
-    merged = gmm._merge_one(state)
+    merged = gmm._merge_pairs(state, exclude=jnp.zeros(4, bool))
     assert int(merged.active.sum()) == 1
     after_mean, after_cov = GMMSqrtEKF.mixture_moments(merged)
     np.testing.assert_allclose(np.asarray(after_mean), np.asarray(before_mean), atol=1e-10)
@@ -205,3 +205,62 @@ def test_gmm_filter_runs_and_adapts():
     assert bool(jnp.all(jnp.isfinite(final.means[final.active])))
     assert int(n_active.max()) >= 2  # splitting occurred
     np.testing.assert_allclose(float(final.weights.sum()), 1.0, rtol=1e-5)
+
+
+def test_gmm_multi_split_capacity_bounded():
+    """All above-threshold components split, most nonlinear first, bounded
+    by free capacity (reference gmm_ekf.py:543-556)."""
+    gmm = GMMSqrtEKF(max_components=4, nl_threshold=0.0)
+    x0 = jnp.array([[0.0, 0.0]])
+    state = gmm.init_state(0.0, x0, const_diag(2, 0.5))
+    state = state.replace(
+        means=state.means.at[1].set(jnp.array([[3.0, 3.0]])),
+        P_sqrt=state.P_sqrt.at[1].set(const_diag(2, 0.5)),
+        weights=jnp.array([0.5, 0.5, 0.0, 0.0]),
+        active=state.active.at[1].set(True),
+    )
+    # three candidates above threshold but only two free slots
+    nl = jnp.array([3.0, 2.0, 1.0, -jnp.inf])
+    split = gmm._split_many(state, nl)
+    assert int(split.active.sum()) == 4  # both active components split
+    np.testing.assert_allclose(float(split.weights.sum()), 1.0, rtol=1e-12)
+    mean0, _ = GMMSqrtEKF.mixture_moments(state)
+    mean1, _ = GMMSqrtEKF.mixture_moments(split)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean0), atol=1e-10)
+
+
+def test_gmm_greedy_pairwise_merge():
+    """Two well-separated close pairs merge in ONE predict-adaptation pass
+    (reference merge_2 merges all below-threshold pairs, :285-323)."""
+    gmm = GMMSqrtEKF(max_components=4, merge_threshold=10.0)
+    x0 = jnp.array([[0.0, 0.0]])
+    state = gmm.init_state(0.0, x0, const_diag(2, 0.3))
+    ms = [jnp.array([[0.1, 0.0]]), jnp.array([[50.0, 50.0]]), jnp.array([[50.1, 50.0]])]
+    for slot, mval in zip((1, 2, 3), ms):
+        state = state.replace(
+            means=state.means.at[slot].set(mval),
+            P_sqrt=state.P_sqrt.at[slot].set(const_diag(2, 0.3)),
+            active=state.active.at[slot].set(True),
+        )
+    state = state.replace(weights=jnp.full((4,), 0.25))
+    merged = gmm._merge_pairs(state, exclude=jnp.zeros(4, bool))
+    # (0,1) merge and (2,3) merge -> 2 components
+    assert int(merged.active.sum()) == 2
+    np.testing.assert_allclose(float(merged.weights.sum()), 1.0, rtol=1e-12)
+
+
+def test_gmm_invalidate_distance_rule():
+    """A component farther than the threshold from EVERY other component in
+    some dimension is dropped (reference invalidate_by_distance)."""
+    gmm = GMMSqrtEKF(max_components=4, distance_threshold=10.0)
+    x0 = jnp.array([[0.0, 0.0]])
+    state = gmm.init_state(0.0, x0, const_diag(2, 0.3))
+    state = state.replace(
+        means=state.means.at[1].set(jnp.array([[1.0, 0.0]])).at[2].set(jnp.array([[100.0, 0.0]])),
+        P_sqrt=state.P_sqrt.at[1].set(const_diag(2, 0.3)).at[2].set(const_diag(2, 0.3)),
+        weights=jnp.array([0.4, 0.4, 0.2, 0.0]),
+        active=jnp.array([True, True, True, False]),
+    )
+    out = gmm._invalidate(state)
+    np.testing.assert_array_equal(np.asarray(out.active), [True, True, False, False])
+    np.testing.assert_allclose(float(out.weights.sum()), 1.0, rtol=1e-12)
