@@ -31,10 +31,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # Workload scales mirror the shipped experiment configs
 # (configs/experiments.py params/hodgkinhuxley11_full, params/lotkavolterra2).
 WORKLOADS = {
-    # batch 128 is the measured throughput knee on the remote v5e (fwd
-    # saturates ~87k steps/s by 128; grad programs above 128 lanes trip
-    # "TPU worker crashed" on this runtime).
-    "hh_full": dict(steps=10000, h=0.01, batch=128, tpu_reps=3, cpu_reps=1, cpu_steps=1000),
+    # Batch default is re-probed per round (ODEUQ_BENCH_BATCH overrides):
+    # the >128-lane "TPU worker crashed" wall observed pre-SDIRK-rewrite no
+    # longer binds; grads measured healthy through 256 (DESIGN §7b).
+    "hh_full": dict(steps=10000, h=0.01, batch=256, tpu_reps=3, cpu_reps=3, cpu_steps=1000),
     "lv": dict(steps=2000, h=0.01, batch=8192, tpu_reps=5, cpu_reps=3, cpu_steps=2000),
 }
 
@@ -128,9 +128,10 @@ def measure_tpu(workload):
 
     assert jax.default_backend() != "cpu", f"expected accelerator, got {jax.default_backend()}"
     w = WORKLOADS[workload]
-    fn, p, num_steps = _build(workload, "f32", w["batch"])
+    batch = int(os.environ.get("ODEUQ_BENCH_BATCH", w["batch"]))
+    fn, p, num_steps = _build(workload, "f32", batch)
     dt = _time_evals(fn, p, w["tpu_reps"])
-    return num_steps * w["batch"] / dt
+    return num_steps * batch / dt
 
 
 def measure_cpu_subprocess(workload):

@@ -70,6 +70,7 @@ class GMMSqrtEKF:
     merge_threshold: float = 1.0
     split_displacement: float = 0.5
     distance_threshold: float = 100.0
+    min_weight: float = 0.01
     disable_cov_update: bool = False
 
     def _ekf(self) -> SqrtEKF:
@@ -207,10 +208,11 @@ class GMMSqrtEKF:
         return state
 
     def _invalidate(self, state: GMMState) -> GMMState:
-        """Drops non-finite components and components farther than the
-        distance threshold from EVERY other active component in some
-        dimension (reference invalidate_by_distance, :198-232); keeps at
-        least one."""
+        """Drops non-finite components, below-minimum-weight components
+        (reference ``min_w`` validity gate, :384/:501), and components
+        farther than the distance threshold from EVERY other active
+        component in some dimension (reference invalidate_by_distance,
+        :198-232); keeps at least one."""
         k = self.max_components
         flat = state.means.reshape(k, -1)
         finite = jnp.all(jnp.isfinite(flat), axis=-1)
@@ -219,7 +221,7 @@ class GMMSqrtEKF:
         other_ok = state.active[None, :] & ~jnp.eye(k, dtype=bool)
         # far from ALL other active components -> invalid
         alone = jnp.all(far_pair | ~other_ok, axis=1) & jnp.any(other_ok, axis=1)
-        keep = state.active & finite & ~alone
+        keep = state.active & finite & ~alone & (state.weights >= self.min_weight)
         keep = jnp.where(jnp.any(keep), keep, state.active)  # never drop all
         weights = jnp.where(keep, state.weights, 0.0)
         total = jnp.maximum(jnp.sum(weights), 1e-30)

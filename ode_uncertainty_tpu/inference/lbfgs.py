@@ -48,6 +48,7 @@ class _State(NamedTuple):
     iters: jax.Array
     n_fev: jax.Array
     done: jax.Array  # converged or stalled
+    stall: jax.Array  # consecutive accepted steps with below-slack progress
 
 
 def _two_loop(g, s_hist, y_hist, rho, head, count, m):
@@ -108,6 +109,7 @@ def lbfgs_box_init(
         iters=jnp.zeros((), jnp.int32),
         n_fev=jnp.ones((), jnp.int32),
         done=pg <= tol,
+        stall=jnp.zeros((), jnp.int32),
     )
 
 
@@ -120,6 +122,7 @@ def lbfgs_box_segment(
     tol: float = 1e-6,
     max_linesearch: int = 25,
     armijo_c1: float = 1e-4,
+    stall_iters: int = 5,
 ) -> _State:
     """Runs the optimizer until convergence or ``iters >= iter_limit``.
 
@@ -127,6 +130,12 @@ def lbfgs_box_segment(
     increasing limit bounds the duration of each dispatched program (some
     TPU runtimes fault on very long single dispatches) while preserving
     exact L-BFGS semantics across segments.
+
+    ``stall_iters``: with the machine-resolution Armijo slack, near-flat f32
+    stages can accept zero-progress steps forever and grind to the iteration
+    limit (lbfgs_host observed median 200/200 iterations on the LV2
+    gamma=1e-8 stage); a lane making < slack objective progress for this
+    many consecutive accepted steps is marked done (0 disables).
     """
     dtype = state.x.dtype
     p = state.x.shape[-1]
@@ -223,7 +232,13 @@ def lbfgs_box_segment(
         f_new = jnp.where(ls.ok, ls.f_t, st.f)
         g_new = jnp.where(ls.ok, ls.g_t, st.g)
         failed_for_good = jnp.logical_not(ls.ok) & jnp.logical_not(reset)
+        progressed = (st.f - f_new) > f_slack
+        stall = jnp.where(
+            ls.ok & jnp.logical_not(progressed), st.stall + 1, jnp.zeros((), jnp.int32)
+        )
         done = failed_for_good | (pg_norm(x_new, g_new) <= tol)
+        if stall_iters > 0:
+            done = done | (stall >= stall_iters)
 
         return _State(
             x=x_new,
@@ -237,6 +252,7 @@ def lbfgs_box_segment(
             iters=st.iters + 1,
             n_fev=st.n_fev + ls.evals,
             done=done,
+            stall=stall,
         )
 
     return lax.while_loop(cond, body, state)

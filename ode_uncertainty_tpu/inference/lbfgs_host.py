@@ -49,6 +49,8 @@ lockstep.
 
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -120,21 +122,51 @@ def _cubic_min(a_lo, f_lo, dg_lo, a_hi, f_hi, dg_hi):
     left = np.minimum(a_lo, a_hi)
     right = np.maximum(a_lo, a_hi)
     width = right - left
+    mid = left + 0.5 * width
     bad = ~np.isfinite(a_new)
     a_new = np.where(bad, 0.5 * (a_lo + a_hi), a_new)
     # Safeguard: interior of the bracket, and at most halfway toward the
-    # lo-side, so repeated Armijo failures shrink the bracket >= 2x per
-    # round (a 10%-interior clamp alone can stall at 0.9x/round and never
-    # reach the tiny steps a cold steepest-descent iteration needs).
-    lo_side = a_lo <= a_hi
-    cap_lo = np.where(lo_side, a_lo + 0.5 * width, a_hi + 0.5 * width)
-    a_new = np.clip(a_new, left + 0.1 * width, np.minimum(right - 0.1 * width, cap_lo))
+    # lo-side (in either bracket orientation), so repeated Armijo failures
+    # shrink the bracket >= 2x per round (a 10%-interior clamp alone can
+    # stall at 0.9x/round and never reach the tiny steps a cold
+    # steepest-descent iteration needs).
+    lo_is_left = a_lo <= a_hi
+    floor = np.where(lo_is_left, left + 0.1 * width, np.maximum(left + 0.1 * width, mid))
+    ceil = np.where(lo_is_left, np.minimum(right - 0.1 * width, mid), right - 0.1 * width)
+    a_new = np.clip(a_new, floor, ceil)
     return a_new
+
+
+_STATE_KEYS = (
+    "x", "f", "g", "iters", "n_fev", "s_hist", "y_hist", "rho",
+    "head", "count", "stall", "done",
+)
+
+
+def _save_iter_state(path: str, it: int, state: dict) -> None:
+    """Atomically persists the full optimizer state at an iteration boundary
+    (all host numpy; a few hundred KB at production sizes)."""
+    tmp = path + ".tmp"
+    np.savez(tmp, it=np.int64(it), **state)
+    os.replace(tmp + ".npz", path)
+
+
+def _load_iter_state(path: str, r: int, p: int):
+    """Returns (start_iteration, state dict) from a sidecar written by
+    ``_save_iter_state``, or None if absent/shape-mismatched."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if z["x"].shape != (r, p):
+                return None
+            return int(z["it"]), {k: z[k].copy() for k in _STATE_KEYS}
+    except Exception:
+        return None
 
 
 def lbfgs_box_host(
     value_and_grad_batched: Callable[[np.ndarray], tuple],
-    value_batched_k=None,  # unused (kept for call-site compatibility)
     x0: np.ndarray = None,
     lower: float = 0.0,
     upper: float = 1.0,
@@ -149,6 +181,7 @@ def lbfgs_box_host(
     stall_iters: int = 5,
     compact: bool = True,
     progress: Callable[[int, np.ndarray], None] | None = None,
+    state_path: str | None = None,
 ) -> HostLBFGSResult:
     """Minimizes a batched objective over the box [lower, upper]^P.
 
@@ -173,6 +206,10 @@ def lbfgs_box_host(
         compact: gather active lanes into power-of-2 dispatch buckets as
             lanes converge (see module docstring).
         progress: optional callback ``(iteration, done_mask)``.
+        state_path: if set, the full optimizer state is persisted to this
+            file at every iteration boundary and restored on entry, so a
+            killed run (remote-TPU session death, babysitter timeout) resumes
+            mid-stage instead of restarting the stage. Deleted on completion.
     """
     x = np.clip(np.asarray(x0, np.float64), lower, upper)
     r, p = x.shape
@@ -188,24 +225,37 @@ def lbfgs_box_host(
         fb, gb = value_and_grad_batched(rows)
         return np.asarray(fb, np.float64)[:nr], np.asarray(gb, np.float64)[:nr]
 
-    f, g = vg_rows(x)
-    n_fev = np.ones(r, np.int32)
-    iters = np.zeros(r, np.int32)
-
-    s_hist = np.zeros((m, r, p))
-    y_hist = np.zeros((m, r, p))
-    rho = np.zeros((m, r))
-    head = np.zeros(r, np.int64)
-    count = np.zeros(r, np.int64)
-    stall = np.zeros(r, np.int32)
-
     def pg_norm(x_, g_):
         return np.max(np.abs(x_ - np.clip(x_ - g_, lower, upper)), axis=-1)
 
-    done = pg_norm(x, g) <= tol
+    it0 = 0
+    loaded = _load_iter_state(state_path, r, p) if state_path else None
+    if loaded is not None:
+        it0, st = loaded
+        x, f, g = st["x"], st["f"], st["g"]
+        iters, n_fev = st["iters"], st["n_fev"]
+        s_hist, y_hist, rho = st["s_hist"], st["y_hist"], st["rho"]
+        head, count, stall, done = st["head"], st["count"], st["stall"], st["done"]
+        print(
+            f"    [lbfgs] resumed mid-stage at iter {it0} "
+            f"({int((~done).sum())}/{r} lanes active)",
+            flush=True,
+        )
+    else:
+        f, g = vg_rows(x)
+        n_fev = np.ones(r, np.int32)
+        iters = np.zeros(r, np.int32)
+        s_hist = np.zeros((m, r, p))
+        y_hist = np.zeros((m, r, p))
+        rho = np.zeros((m, r))
+        head = np.zeros(r, np.int64)
+        count = np.zeros(r, np.int64)
+        stall = np.zeros(r, np.int32)
+        done = pg_norm(x, g) <= tol
+
     r_idx = np.arange(r)
 
-    for it in range(max_iter):
+    for it in range(it0, max_iter):
         if done.all():
             break
         act = np.nonzero(~done)[0]
@@ -414,9 +464,21 @@ def lbfgs_box_host(
         done = done | failed_for_good | (pg_norm(x, g) <= tol)
         if stall_iters > 0:
             done = done | (stall >= stall_iters)
+        if state_path:
+            _save_iter_state(
+                state_path,
+                it + 1,
+                dict(
+                    x=x, f=f, g=g, iters=iters, n_fev=n_fev, s_hist=s_hist,
+                    y_hist=y_hist, rho=rho, head=head, count=count,
+                    stall=stall, done=done,
+                ),
+            )
         if progress is not None:
             progress(it, done)
 
+    if state_path and os.path.exists(state_path):
+        os.remove(state_path)
     return HostLBFGSResult(
         x=x,
         f=f,
@@ -433,35 +495,82 @@ def make_stage_optimizer_host(
     max_iter: int = 200,
     tol: float = 1e-4,
     history: int = 10,
-    ls_block: int = 5,
     dtype=None,
     progress_every: int = 10,
+    state_prefix: str | None = None,
+    mesh=None,
 ):
     """Drop-in replacement for ``estimate.make_stage_optimizer`` running the
-    optimizer loop on the host: ``stage(p0_norm [R, P], gamma) ->
-    HostLBFGSResult``. Device programs are loop-free (vmapped NLL(+grad)).
+    optimizer loop on the host: ``stage(p0_norm [R, P], gamma, unit_key=None)
+    -> HostLBFGSResult``. Device programs are loop-free (vmapped NLL(+grad)).
 
     Prints a one-line progress heartbeat every ``progress_every`` iterations
     (0 disables) — hour-scale tempering sweeps on a flaky remote TPU need
     babysittable output finer than one line per (chunk x stage) unit.
+
+    If ``state_prefix`` is set and the caller passes a ``unit_key``, the
+    optimizer state is checkpointed every iteration to
+    ``<state_prefix>.lbfgs-<unit_key>.npz`` so killed runs resume mid-stage
+    (tempering stages on the implicit HH problems run hours; the remote TPU
+    tunnel and the babysitter timeout both kill sessions more often than
+    that).
+
+    If ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the restart axis) is set,
+    every value_and_grad dispatch is restart-sharded over the mesh: the
+    batch axis is laid over ICI, the host bookkeeping is unchanged, and
+    wall-clock scales ~1/n_devices for batch >> n_devices. This is the
+    multi-chip scale-out of the *production* estimation path (the on-device
+    while-loop estimator in parallel/mesh.py is the all-on-device variant).
+    Dispatch widths are padded up to a multiple of the mesh size (sharded
+    dimensions must divide evenly), composing with bucket compaction.
     """
     import time
 
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def vg_batched(p, gamma):
-        vg = jax.value_and_grad(lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)))
-        return jax.vmap(vg)(p)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    def stage(p0_norm, gamma):
+        batch_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        rep_sh = NamedSharding(mesh, PartitionSpec())
+
+        @partial(
+            jax.jit,
+            in_shardings=(batch_sh, rep_sh),
+            out_shardings=(batch_sh, batch_sh),
+        )
+        def vg_batched(p, gamma):
+            vg = jax.value_and_grad(lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)))
+            return jax.vmap(vg)(p)
+
+    else:
+
+        @jax.jit
+        def vg_batched(p, gamma):
+            vg = jax.value_and_grad(lambda q: nll(q, q_sqrt, jnp.sqrt(gamma)))
+            return jax.vmap(vg)(p)
+
+    def stage(p0_norm, gamma, unit_key=None):
         dt = dtype or jnp.asarray(p0_norm).dtype
         gamma_j = jnp.asarray(gamma, dt)
         f32 = jnp.dtype(dt) == jnp.dtype(jnp.float32)
 
-        def vagb(x):
-            return vg_batched(jnp.asarray(x, dt), gamma_j)
+        if mesh is not None:
+            n_mesh = int(np.prod(mesh.devices.shape))
+
+            def vagb(x):
+                nr = len(x)
+                pad = (-nr) % n_mesh
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+                fb, gb = vg_batched(jnp.asarray(x, dt), gamma_j)
+                return fb[:nr], gb[:nr]
+
+        else:
+
+            def vagb(x):
+                return vg_batched(jnp.asarray(x, dt), gamma_j)
 
         t0 = time.perf_counter()
 
@@ -474,15 +583,20 @@ def make_stage_optimizer_host(
                     flush=True,
                 )
 
+        state_path = (
+            f"{state_prefix}.lbfgs-{unit_key}.npz"
+            if state_prefix is not None and unit_key is not None
+            else None
+        )
         return lbfgs_box_host(
             vagb,
-            None,
             np.asarray(p0_norm, np.float64),
             max_iter=max_iter,
             tol=tol,
             history=history,
             f32=f32,
             progress=heartbeat,
+            state_path=state_path,
         )
 
     return stage

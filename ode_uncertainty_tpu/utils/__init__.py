@@ -8,7 +8,7 @@ from ode_uncertainty_tpu.utils.profiling import PhaseTimer, benchmark, device_tr
 from ode_uncertainty_tpu.utils.scan import scan_save
 
 __all__ = [
-    "run_chunked",
+    "run_stage_grid",
     "config_cli",
     "instantiate",
     "load_config",

@@ -51,8 +51,11 @@ def run_stage_grid(
     Returns a dict with the H5-schema result tensors
     (params_inits/params_optims/nll_optims/num_lbfgs_iters/num_nll_evals).
     """
+    import inspect
+
     import jax.numpy as jnp
 
+    stage_takes_key = "unit_key" in inspect.signature(stage_fn).parameters
     p0 = np.asarray(p0)
     r, p_dim = p0.shape
     s = int(np.shape(gammas)[0])
@@ -93,7 +96,8 @@ def run_stage_grid(
     for k, (start, stop, si) in enumerate(todo):
         t0 = time.perf_counter()
         p_in = jnp.asarray(store["p_current"][start:stop], dtype)
-        res = stage_fn(p_in, gammas[si])
+        kw = {"unit_key": f"r{start}-{stop}-s{si}"} if stage_takes_key else {}
+        res = stage_fn(p_in, gammas[si], **kw)
         elapsed = time.perf_counter() - t0
         unit_times.append(elapsed)
 

@@ -136,9 +136,9 @@ def optimize(cfg) -> None:
             q_sqrt,
             max_iter=cfg.get("lbfgs_maxiter", 200),
             tol=cfg.get("lbfgs_tol", 1e-4),
-            # Narrow line-search blocks keep the [R*K]-wide forward program
-            # under the measured per-program lane budget of this runtime.
-            ls_block=cfg.get("lbfgs_ls_block", 2),
+            # Iteration-granular optimizer-state checkpointing: hour-scale
+            # stages survive tunnel/babysitter kills (resumed mid-stage).
+            state_prefix=str(cfg["output"]),
         )
     else:
         stage_opt = make_stage_optimizer(

@@ -264,3 +264,22 @@ def test_gmm_invalidate_distance_rule():
     out = gmm._invalidate(state)
     np.testing.assert_array_equal(np.asarray(out.active), [True, True, False, False])
     np.testing.assert_allclose(float(out.weights.sum()), 1.0, rtol=1e-12)
+
+
+def test_gmm_invalidate_min_weight():
+    """Below-minimum-weight components are pruned (reference min_w validity
+    gate, gmm_ekf.py:384/:501), and surviving weights renormalize."""
+    gmm = GMMSqrtEKF(max_components=4, distance_threshold=1e9, min_weight=0.01)
+    x0 = jnp.array([[0.0, 0.0]])
+    state = gmm.init_state(0.0, x0, const_diag(2, 0.3))
+    state = state.replace(
+        means=state.means.at[1].set(jnp.array([[1.0, 0.0]])).at[2].set(jnp.array([[2.0, 0.0]])),
+        P_sqrt=state.P_sqrt.at[1].set(const_diag(2, 0.3)).at[2].set(const_diag(2, 0.3)),
+        weights=jnp.array([0.6, 0.395, 0.005, 0.0]),
+        active=jnp.array([True, True, True, False]),
+    )
+    out = gmm._invalidate(state)
+    np.testing.assert_array_equal(np.asarray(out.active), [True, True, False, False])
+    np.testing.assert_allclose(
+        np.asarray(out.weights), [0.6 / 0.995, 0.395 / 0.995, 0.0, 0.0], rtol=1e-6
+    )

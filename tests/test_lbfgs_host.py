@@ -15,17 +15,14 @@ from ode_uncertainty_tpu.inference.lbfgs_host import lbfgs_box_host, make_stage_
 
 
 def _wrap(obj):
-    """Builds the two device callables from a scalar objective."""
+    """Builds the batched value_and_grad device callable from a scalar
+    objective."""
     vg = jax.jit(jax.vmap(jax.value_and_grad(obj)))
-    fk = jax.jit(jax.vmap(jax.vmap(obj)))
 
     def vg_b(x):
         return vg(jnp.asarray(x))
 
-    def fk_b(x):
-        return fk(jnp.asarray(x))
-
-    return vg_b, fk_b
+    return vg_b
 
 
 def test_quadratic_batched():
@@ -34,9 +31,9 @@ def test_quadratic_batched():
     def obj(p):
         return jnp.sum((p - target) ** 2)
 
-    vg_b, fk_b = _wrap(obj)
+    vg_b = _wrap(obj)
     x0 = np.random.default_rng(0).uniform(0, 1, (17, 3))
-    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8)
+    res = lbfgs_box_host(vg_b, x0, f32=False, tol=1e-8)
     assert res.converged.all()
     np.testing.assert_allclose(res.x, np.tile(np.asarray(target), (17, 1)), atol=1e-6)
     # quadratic: quasi-Newton solves it in a few iterations
@@ -48,8 +45,8 @@ def test_box_active_constraints():
     def obj(p):
         return jnp.sum((p - 2.0) ** 2)
 
-    vg_b, fk_b = _wrap(obj)
-    res = lbfgs_box_host(vg_b, fk_b, np.full((4, 2), 0.5), f32=False, tol=1e-8)
+    vg_b = _wrap(obj)
+    res = lbfgs_box_host(vg_b, np.full((4, 2), 0.5), f32=False, tol=1e-8)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-8)
     assert res.converged.all()
 
@@ -60,9 +57,9 @@ def test_rosenbrock_valley():
         a, b = 0.7, 10.0
         return (p[0] - a) ** 2 + b * (p[1] - p[0] ** 2) ** 2
 
-    vg_b, fk_b = _wrap(obj)
+    vg_b = _wrap(obj)
     x0 = np.random.default_rng(1).uniform(0, 1, (8, 2))
-    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8, max_iter=400)
+    res = lbfgs_box_host(vg_b, x0, f32=False, tol=1e-8, max_iter=400)
     np.testing.assert_allclose(res.x[:, 0], 0.7, atol=1e-4)
     np.testing.assert_allclose(res.x[:, 1], 0.49, atol=1e-4)
 
@@ -73,11 +70,11 @@ def test_compaction_matches_uncompacted():
     def obj(p):
         return (p[0] - 0.5) ** 2 + 30.0 * (p[1] - p[0] ** 2) ** 2
 
-    vg_b, fk_b = _wrap(obj)
+    vg_b = _wrap(obj)
     x0 = np.random.default_rng(2).uniform(0, 1, (33, 2))
     x0[::3] = [0.5, 0.25]  # a third of the lanes start at the optimum
-    r1 = lbfgs_box_host(vg_b, fk_b, x0.copy(), f32=False, tol=1e-8, compact=True)
-    r2 = lbfgs_box_host(vg_b, fk_b, x0.copy(), f32=False, tol=1e-8, compact=False)
+    r1 = lbfgs_box_host(vg_b, x0.copy(), f32=False, tol=1e-8, compact=True)
+    r2 = lbfgs_box_host(vg_b, x0.copy(), f32=False, tol=1e-8, compact=False)
     np.testing.assert_array_equal(r1.x, r2.x)
     np.testing.assert_array_equal(r1.iters, r2.iters)
     np.testing.assert_array_equal(r1.n_fev, r2.n_fev)
@@ -90,8 +87,8 @@ def test_optimistic_step_dispatch_economy():
     def obj(p):
         return jnp.sum((p - 0.4) ** 2)
 
-    vg_b, fk_b = _wrap(obj)
-    res = lbfgs_box_host(vg_b, fk_b, np.full((3, 4), 0.9), f32=False, tol=1e-10)
+    vg_b = _wrap(obj)
+    res = lbfgs_box_host(vg_b, np.full((3, 4), 0.9), f32=False, tol=1e-10)
     assert res.converged.all()
     # 1 initial + ~1 per iteration (unit step accepted; no line-search blocks)
     assert (res.n_fev <= res.iters + 3).all(), (res.n_fev, res.iters)
@@ -103,9 +100,9 @@ def test_stall_stop_cuts_flat_grind():
     def obj(p):
         return 1000.0 + 1e-4 * jnp.sum((p - 0.5) ** 2)
 
-    vg_b, fk_b = _wrap(obj)
+    vg_b = _wrap(obj)
     res = lbfgs_box_host(
-        vg_b, fk_b, np.full((2, 2), 0.9), f32=True, tol=0.0, max_iter=200, stall_iters=5
+        vg_b, np.full((2, 2), 0.9), f32=True, tol=0.0, max_iter=200, stall_iters=5
     )
     assert (res.iters < 50).all(), res.iters
 
@@ -116,9 +113,9 @@ def test_nan_objective_is_linesearch_wall():
         v = jnp.sum((p - 0.2) ** 2)
         return jnp.where(p[0] > 0.8, jnp.nan, v)
 
-    vg_b, fk_b = _wrap(obj)
+    vg_b = _wrap(obj)
     x0 = np.array([[0.75, 0.3], [0.3, 0.3]])
-    res = lbfgs_box_host(vg_b, fk_b, x0, f32=False, tol=1e-8)
+    res = lbfgs_box_host(vg_b, x0, f32=False, tol=1e-8)
     assert np.isfinite(res.f).all()
     np.testing.assert_allclose(res.x, 0.2, atol=1e-5)
 
@@ -132,3 +129,48 @@ def test_stage_optimizer_host_recovers_quadratic():
     x0 = np.random.default_rng(3).uniform(0, 1, (5, 2))
     res = stage(x0, 0.01)
     np.testing.assert_allclose(res.x, 0.6, atol=1e-6)
+
+
+def test_mid_stage_state_resume(tmp_path):
+    # Kill the optimizer after 3 iterations (simulated by max_iter=3 with a
+    # state file), then resume from the sidecar: the resumed run must pick
+    # up at iteration 3 and converge to the same optimum a straight-through
+    # run reaches, and the sidecar must be gone after normal completion.
+    def obj(p):
+        return (p[0] - 0.7) ** 2 + 10.0 * (p[1] - p[0] ** 2) ** 2
+
+    vg_b = _wrap(obj)
+    x0 = np.random.default_rng(5).uniform(0, 1, (6, 2))
+    sp = str(tmp_path / "state.npz")
+
+    partial = lbfgs_box_host(
+        vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=3, state_path=sp
+    )
+    import os
+    assert not os.path.exists(sp)  # normal return cleans up
+
+    # Re-create a mid-run state: run 3 iters again, keep the file this time
+    # by interrupting via an exception from the progress callback.
+    class Stop(Exception):
+        pass
+
+    def killer(it, done):
+        if it >= 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        lbfgs_box_host(
+            vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400,
+            state_path=sp, progress=killer,
+        )
+    assert os.path.exists(sp)
+
+    resumed = lbfgs_box_host(
+        vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400, state_path=sp
+    )
+    straight = lbfgs_box_host(vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400)
+    assert resumed.converged.all()
+    np.testing.assert_allclose(resumed.x, straight.x, atol=1e-6)
+    # resumed run did NOT redo the first 3 iterations' dispatches
+    assert (resumed.n_fev <= straight.n_fev).all()
+    assert not os.path.exists(sp)

@@ -71,3 +71,26 @@ def test_shard_restarts_places_leading_axis():
     y = shard_restarts(x, mesh)
     assert len({d for d in y.sharding.device_set}) == 8
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_sharded_host_wolfe_matches_unsharded():
+    """The production (host strong-Wolfe) stage optimizer with a mesh shards
+    every vg dispatch over the restart axis and must agree exactly with the
+    unsharded host loop — same math, host bookkeeping unchanged."""
+    from ode_uncertainty_tpu.inference.lbfgs_host import make_stage_optimizer_host
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    spec, nll = _rig()
+    q_sqrt = jnp.eye(2, dtype=jnp.float64)
+    # 20 restarts: NOT divisible by 8 — GSPMD padding must handle it.
+    p0 = spec.sample_norm(random.key(2), 20).astype(jnp.float64)
+
+    plain = make_stage_optimizer_host(nll, q_sqrt, max_iter=12, tol=1e-8)
+    mesh = device_mesh(num_devices=8)
+    sharded = make_stage_optimizer_host(nll, q_sqrt, max_iter=12, tol=1e-8, mesh=mesh)
+
+    r_plain = plain(p0, 1e-2)
+    r_sharded = sharded(p0, 1e-2)
+    np.testing.assert_allclose(r_sharded.x, r_plain.x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(r_sharded.f, r_plain.f, rtol=1e-12)
+    np.testing.assert_array_equal(r_sharded.n_fev, r_plain.n_fev)
