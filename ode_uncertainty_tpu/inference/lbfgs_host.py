@@ -243,6 +243,13 @@ def lbfgs_box_host(
         )
     else:
         f, g = vg_rows(x)
+        # Flushed marker: the dispatch above absorbs the (possibly tens of
+        # minutes) remote compile; watchdogs read this as liveness.
+        print(
+            f"    [lbfgs] initial objective evaluated ({r} lanes, "
+            f"median {np.nanmedian(f):.4g})",
+            flush=True,
+        )
         n_fev = np.ones(r, np.int32)
         iters = np.zeros(r, np.int32)
         s_hist = np.zeros((m, r, p))

@@ -97,6 +97,14 @@ def run_stage_grid(
         t0 = time.perf_counter()
         p_in = jnp.asarray(store["p_current"][start:stop], dtype)
         kw = {"unit_key": f"r{start}-{stop}-s{si}"} if stage_takes_key else {}
+        # Flushed start marker: on the remote TPU the first dispatch of a
+        # unit can be silent for many minutes (compile + cold line search);
+        # babysitter watchdogs need evidence the unit began.
+        print(
+            f"[{tag}] starting unit {n_done_prior + k + 1}/{len(units)} "
+            f"(restarts {start}:{stop}, stage {si + 1}/{s})",
+            flush=True,
+        )
         res = stage_fn(p_in, gammas[si], **kw)
         elapsed = time.perf_counter() - t0
         unit_times.append(elapsed)

@@ -12,7 +12,13 @@ mesh — it is NOT multi-chip hardware evidence (none is available here); it
 validates that per-device work is collective-free and the program
 partitions without replication blowup. See docs/DESIGN.md §Scale-out.
 
+Both optimizer paths are measured: ``--path device`` shards the on-device
+while-loop estimator (parallel/mesh.py); ``--path host`` shards the
+production host strong-Wolfe path's value_and_grad dispatches
+(inference/lbfgs_host.py, mesh=...).
+
 Usage: python measure_scaling.py [--per-device 16] [--devices 1,2,4,8]
+                                 [--path device|host]
 """
 
 import argparse
@@ -27,6 +33,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
+import numpy as np
 import jax.numpy as jnp
 import __graft_entry__ as ge
 from ode_uncertainty_tpu.parallel import (
@@ -34,17 +41,31 @@ from ode_uncertainty_tpu.parallel import (
 
 n = {n}
 per = {per}
+path = {path!r}
 mesh = device_mesh(num_devices=n)
 _, _, spec, nll, p0 = ge._lv_rig(jnp.float32, restarts=per * n)
 q = jnp.eye(2, dtype=jnp.float32)
-est = make_sharded_tempered_estimator(nll, spec, q, mesh, max_iter=25, tol=0.0)
-gammas = jnp.asarray([1e-2, 1e-5], jnp.float32)
-p0 = shard_restarts(p0, mesh)
-res = jax.block_until_ready(est(p0, gammas))  # compile
-t0 = time.perf_counter()
-for _ in range(3):
-    res = jax.block_until_ready(est(p0, gammas))
-print("WALL=%.4f" % ((time.perf_counter() - t0) / 3))
+if path == "device":
+    est = make_sharded_tempered_estimator(nll, spec, q, mesh, max_iter=25, tol=0.0)
+    gammas = jnp.asarray([1e-2, 1e-5], jnp.float32)
+    p0 = shard_restarts(p0, mesh)
+    res = jax.block_until_ready(est(p0, gammas))  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        res = jax.block_until_ready(est(p0, gammas))
+    print("WALL=%.4f" % ((time.perf_counter() - t0) / 3))
+else:
+    from ode_uncertainty_tpu.inference.lbfgs_host import make_stage_optimizer_host
+
+    stage = make_stage_optimizer_host(
+        nll, q, max_iter=25, tol=0.0, mesh=mesh, progress_every=0
+    )
+    x0 = np.asarray(p0)
+    stage(x0, 1e-2)  # compile all bucket shapes
+    t0 = time.perf_counter()
+    for _ in range(3):
+        stage(x0, 1e-2)
+    print("WALL=%.4f" % ((time.perf_counter() - t0) / 3))
 """
 
 
@@ -52,6 +73,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device", type=int, default=16)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--path", default="device", choices=["device", "host"])
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,7 +84,7 @@ def main():
             env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
         ).strip()
         env["JAX_PLATFORMS"] = "cpu"
-        code = _CHILD.format(repo=repo, n=n, per=args.per_device)
+        code = _CHILD.format(repo=repo, n=n, per=args.per_device, path=args.path)
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=1200
         )
@@ -84,6 +106,7 @@ def main():
         print(
             json.dumps(
                 {
+                    "path": args.path,
                     "devices": n,
                     "restarts": n * args.per_device,
                     "wall_s": round(wall, 4),

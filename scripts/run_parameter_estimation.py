@@ -139,6 +139,9 @@ def optimize(cfg) -> None:
             # Iteration-granular optimizer-state checkpointing: hour-scale
             # stages survive tunnel/babysitter kills (resumed mid-stage).
             state_prefix=str(cfg["output"]),
+            # Per-iteration heartbeat: implicit-solver iterations run
+            # minutes each; watchdogs treat long silence as a wedged client.
+            progress_every=int(cfg.get("lbfgs_progress_every", 1)),
         )
     else:
         stage_opt = make_stage_optimizer(
