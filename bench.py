@@ -101,6 +101,32 @@ def _build(workload, dtype_str, batch, steps=None):
     q = jnp.diag(jnp.ones(n, dtype))
     gam = jnp.asarray(0.01, dtype)
 
+    # The explicit LV workload runs the fused Pallas kernel on TPU (the
+    # hand-scheduled forward + recompute backward, ops/pallas_ekf.py); set
+    # ODEUQ_LV_IMPL=xla to measure the lax.scan/checkpoint path instead.
+    impl = os.environ.get("ODEUQ_LV_IMPL", "pallas")
+    if (
+        workload == "lv"
+        and batch > 1
+        and impl == "pallas"
+        and dtype_str == "f32"
+        and jax.default_backend() != "cpu"
+    ):
+        from ode_uncertainty_tpu.ops.pallas_ekf import make_nll_pallas, supports
+
+        if supports(m, sol, ekf, obs):
+            nll_b = make_nll_pallas(
+                m, sol, ekf, spec, obs, state0, num_steps, np.asarray(q)
+            )
+
+            @jax.jit
+            def fn(p_b):
+                vals, vjp = jax.vjp(lambda pb: nll_b(pb, gam), p_b)
+                return vals, vjp(jnp.ones_like(vals))[0]
+
+            p = spec.sample_norm(jax.random.key(0), batch).astype(dtype)
+            return fn, p, num_steps
+
     vg = jax.value_and_grad(lambda p: nll(p, q, gam))
     if batch > 1:
         fn = jax.jit(jax.vmap(vg))
