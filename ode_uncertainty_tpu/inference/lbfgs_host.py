@@ -506,6 +506,7 @@ def make_stage_optimizer_host(
     progress_every: int = 10,
     state_prefix: str | None = None,
     mesh=None,
+    nll_batched: Callable | None = None,
 ):
     """Drop-in replacement for ``estimate.make_stage_optimizer`` running the
     optimizer loop on the host: ``stage(p0_norm [R, P], gamma, unit_key=None)
@@ -530,13 +531,27 @@ def make_stage_optimizer_host(
     while-loop estimator in parallel/mesh.py is the all-on-device variant).
     Dispatch widths are padded up to a multiple of the mesh size (sharded
     dimensions must divide evenly), composing with bucket compaction.
+
+    If ``nll_batched`` is given (``nll_b(p_b [B, P], gamma_sqrt) -> [B]``,
+    e.g. the fused Pallas kernel from ops/pallas_ekf.py), it replaces the
+    vmapped ``nll`` for the device dispatches; per-lane gradients come from
+    one ``jax.vjp`` pull (exact: each lane's NLL depends only on its own
+    row). Mutually exclusive with ``mesh``.
     """
     import time
 
     import jax
     import jax.numpy as jnp
 
-    if mesh is not None:
+    if nll_batched is not None:
+        assert mesh is None, "nll_batched and mesh are mutually exclusive"
+
+        @jax.jit
+        def vg_batched(p, gamma):
+            vals, vjp = jax.vjp(lambda pb: nll_batched(pb, jnp.sqrt(gamma)), p)
+            return vals, vjp(jnp.ones_like(vals))[0]
+
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         batch_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))

@@ -131,9 +131,27 @@ def optimize(cfg) -> None:
 
     use_host = mode != "device"
     if use_host:
+        # Opt-in fused Pallas NLL for explicit problems (--set nll_impl=pallas):
+        # the batched dispatch becomes the hand-scheduled kernel of
+        # ops/pallas_ekf.py (TPU only; falls back if unsupported).
+        nll_b = None
+        if cfg.get("nll_impl") == "pallas":
+            import jax as _jax
+
+            from ode_uncertainty_tpu.ops.pallas_ekf import make_nll_pallas, supports
+
+            if _jax.default_backend() != "cpu" and supports(
+                model, solver, ekf, obs
+            ):
+                nll_b = make_nll_pallas(
+                    model, solver, ekf, spec, obs, state0, num_steps,
+                    np.asarray(q_sqrt),
+                )
+                print("[optimize] using fused Pallas NLL kernel", flush=True)
         stage_opt = make_stage_optimizer_host(
             nll,
             q_sqrt,
+            nll_batched=nll_b,
             max_iter=cfg.get("lbfgs_maxiter", 200),
             tol=cfg.get("lbfgs_tol", 1e-4),
             # Iteration-granular optimizer-state checkpointing: hour-scale

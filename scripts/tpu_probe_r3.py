@@ -1,0 +1,128 @@
+"""Round-3 TPU measurement batch (run when the chip is free).
+
+One process, sequential probes, each printed as a JSON line:
+  1. verify-drive: deterministic solve + stiff implicit + HH spike (the
+     /verify skill's TPU leg).
+  2. LV explicit NLL+grad: XLA fast path vs fused Pallas kernel at batch
+     8192 (plus a numerical cross-check at small batch).
+  3. HH-full implicit NLL+grad batch sweep (128/256/512): validates the
+     bench.py default batch and locates the crash boundary.
+
+Usage: timeout 3600 python scripts/tpu_probe_r3.py [--skip hh] > probe.log
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_build(workload, batch, steps=None):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    return bench._build(workload, "f32", batch, steps=steps)
+
+
+def _time(fn, p, reps, warm=1):
+    import jax
+
+    for _ in range(warm):
+        jax.block_until_ready(fn(p))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(p)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def probe_verify():
+    import jax
+    import jax.numpy as jnp
+
+    from ode_uncertainty_tpu import models, solvers
+
+    assert jax.default_backend() != "cpu"
+    out = solvers.solve(
+        solvers.dopri65(step_size=0.01), models.lotka_volterra(), 0.0,
+        jnp.array([[1.0, 1.0]], jnp.float32), 2000, save_every=10,
+    )
+    xf = np.asarray(out["x"])[-1].ravel()
+    assert np.allclose(xf, [1.0577, 0.8287], atol=5e-3), xf
+
+    vdp = models.van_der_pol(damping=50.0)
+    imp = solvers.solve(
+        solvers.kvaerno3(step_size=0.05), vdp, 0.0,
+        jnp.array([[2.0], [0.0]], jnp.float32), 400,
+    )
+    assert np.isfinite(np.asarray(imp["x"])).all()
+
+    hh = models.hodgkin_huxley("full")
+    x0 = hh.build_initial_value(jnp.array([[-70.0]], jnp.float32), hh.params)
+    sol_hh = solvers.solve(solvers.kvaerno3(step_size=0.01), hh, 0.0, x0, 5000, save_every=10)
+    vmax = float(np.asarray(sol_hh["x"])[:, 0, 0].max())
+    assert vmax > 0.0, vmax
+    print(json.dumps({"probe": "verify_tpu", "lv_final": xf.tolist(), "hh_vmax": vmax, "ok": True}), flush=True)
+
+
+def probe_lv(batch=8192):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    steps = 2000
+    # numerical cross-check pallas vs xla at small batch
+    os.environ["ODEUQ_LV_IMPL"] = "xla"
+    fn_x, p_x, _ = _bench_build("lv", 1024)
+    os.environ["ODEUQ_LV_IMPL"] = "pallas"
+    fn_p, p_p, _ = _bench_build("lv", 1024)
+    vx, gx = fn_x(p_x)
+    vp, gp = fn_p(p_p)
+    err_v = float(jnp.max(jnp.abs(vx - vp) / (jnp.abs(vx) + 1.0)))
+    err_g = float(jnp.max(jnp.abs(gx - gp) / (jnp.abs(gx) + 1e-3)))
+    print(json.dumps({"probe": "lv_crosscheck", "rel_err_val": err_v, "rel_err_grad": err_g}), flush=True)
+
+    for impl in ("xla", "pallas"):
+        os.environ["ODEUQ_LV_IMPL"] = impl
+        fn, p, _ = _bench_build("lv", batch)
+        dt = _time(fn, p, reps=3)
+        print(json.dumps({
+            "probe": f"lv_{impl}", "batch": batch,
+            "steps_per_sec": round(steps * batch / dt, 0), "sec_per_eval": round(dt, 4),
+        }), flush=True)
+
+
+def probe_hh(batches=(128, 256, 512)):
+    steps = 10000
+    for b in batches:
+        try:
+            fn, p, _ = _bench_build("hh_full", b)
+            dt = _time(fn, p, reps=3)
+            print(json.dumps({
+                "probe": "hh_full", "batch": b,
+                "steps_per_sec": round(steps * b / dt, 0), "sec_per_eval": round(dt, 2),
+            }), flush=True)
+        except Exception as e:  # crash boundary probe: report, keep going
+            print(json.dumps({"probe": "hh_full", "batch": b, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="", help="comma list: verify,lv,hh")
+    ap.add_argument("--hh-batches", default="128,256,512")
+    args = ap.parse_args()
+    skip = set(args.skip.split(","))
+    sys.path.insert(0, "/root/repo")
+    import bench as _b
+
+    _b._enable_compile_cache()
+    if "verify" not in skip:
+        probe_verify()
+    if "lv" not in skip:
+        probe_lv()
+    if "hh" not in skip:
+        probe_hh([int(x) for x in args.hh_batches.split(",")])

@@ -174,3 +174,23 @@ def test_mid_stage_state_resume(tmp_path):
     # resumed run did NOT redo the first 3 iterations' dispatches
     assert (resumed.n_fev <= straight.n_fev).all()
     assert not os.path.exists(sp)
+
+
+def test_stage_optimizer_batched_nll_path():
+    # nll_batched replaces the vmapped objective; results must match the
+    # vmapped path exactly (same math, vjp-pulled per-lane gradients).
+    def nll(p, q_sqrt, gamma_sqrt):
+        return jnp.sum((p - 0.6) ** 2) * (1.0 + gamma_sqrt)
+
+    def nll_b(p_b, gamma_sqrt):
+        return jax.vmap(lambda p: nll(p, None, gamma_sqrt))(p_b)
+
+    x0 = np.random.default_rng(4).uniform(0, 1, (5, 2))
+    plain = make_stage_optimizer_host(nll, jnp.eye(2), max_iter=50, tol=1e-8)
+    batched = make_stage_optimizer_host(
+        nll, jnp.eye(2), max_iter=50, tol=1e-8, nll_batched=nll_b
+    )
+    r1 = plain(x0, 0.01)
+    r2 = batched(x0, 0.01)
+    np.testing.assert_allclose(r2.x, r1.x, rtol=1e-12)
+    np.testing.assert_array_equal(r2.n_fev, r1.n_fev)
