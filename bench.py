@@ -104,10 +104,14 @@ def _build(workload, dtype_str, batch, steps=None):
     # The explicit LV workload runs the fused Pallas kernel on TPU (the
     # hand-scheduled forward + recompute backward, ops/pallas_ekf.py); set
     # ODEUQ_LV_IMPL=xla to measure the lax.scan/checkpoint path instead.
-    impl = os.environ.get("ODEUQ_LV_IMPL", "pallas")
+    # The implicit HH workload defaults to the XLA path; ODEUQ_HH_IMPL=pallas
+    # selects the fused SDIRK kernel (same kernel family, Kvaerno3 tile step).
+    impl = os.environ.get(
+        "ODEUQ_LV_IMPL" if workload == "lv" else "ODEUQ_HH_IMPL",
+        "pallas" if workload == "lv" else "xla",
+    )
     if (
-        workload == "lv"
-        and batch > 1
+        batch > 1
         and impl == "pallas"
         and dtype_str == "f32"
         and jax.default_backend() != "cpu"
@@ -160,6 +164,40 @@ def measure_tpu(workload):
     return num_steps * batch / dt
 
 
+def measure_tpu_subprocess(workload):
+    """TPU measurement in a child process, halving the batch on a crashed
+    attempt (the remote runtime intermittently kills very wide grad
+    programs; a dead client also wedges the runtime for a few minutes, so
+    failed attempts back off before respawning). Returns steps/sec."""
+    w = WORKLOADS[workload]
+    batch = int(os.environ.get("ODEUQ_BENCH_BATCH", w["batch"]))
+    last_err = None
+    while batch >= 32:
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "import bench\n"
+            "bench._enable_compile_cache()\n"
+            f"print('TPU_STEPS_PER_SEC=' + str(bench.measure_tpu({workload!r})))\n"
+        )
+        env = dict(os.environ)
+        env["ODEUQ_BENCH_BATCH"] = str(batch)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("TPU_STEPS_PER_SEC="):
+                    return float(line.split("=")[1])
+            last_err = (out.stdout + out.stderr)[-500:]
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout at batch {batch}"
+        print(f"# bench: TPU attempt at batch {batch} failed; backing off", file=sys.stderr)
+        batch //= 2
+        time.sleep(240)  # runtime recovery window after a dead client
+    raise RuntimeError(f"all TPU bench attempts failed: {last_err}")
+
+
 def measure_cpu_subprocess(workload):
     """Single-chain f64 CPU kernel in a fresh process (the reference's
     execution model), returns steps/sec. For the implicit HH workload a
@@ -210,7 +248,7 @@ def main():
     _enable_compile_cache()
     workload = os.environ.get("ODEUQ_BENCH", "hh_full")
     cpu_sps = measure_cpu_subprocess(workload)
-    tpu_sps = measure_tpu(workload)
+    tpu_sps = measure_tpu_subprocess(workload)
     name = (
         "hh_full_implicit_nll_grad_filter_steps_per_sec_batched"
         if workload == "hh_full"

@@ -19,6 +19,7 @@ axis over a device mesh scales it to a pod slice (see parallel/mesh.py).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -233,12 +234,21 @@ def make_stage_optimizer(
     return stage
 
 
-def make_nll_landscape(nll: Callable, q_sqrt: jax.Array, batch_size: int = 256):
+def make_nll_landscape(
+    nll: Callable,
+    q_sqrt: jax.Array,
+    batch_size: int = 256,
+    timings_out: list | None = None,
+):
     """NLL grid evaluation (parity: run_parameter_estimation.py:evaluate).
 
     Returns ``landscape(p_norm_grid [G, P_opt], gammas [S]) -> [S, G]``.
     The reference loops the grid in Python, one jitted call per point
     (:491); here the grid is a vmapped axis evaluated in chunks.
+
+    ``timings_out``: when a list is given, each device batch is synchronized
+    and timed, appending ``(points_in_batch, seconds)`` per dispatch (in
+    stage-major order); leaving it ``None`` keeps dispatch fully async.
     """
 
     @jax.jit
@@ -254,7 +264,19 @@ def make_nll_landscape(nll: Callable, q_sqrt: jax.Array, batch_size: int = 256):
         chunks = padded.reshape(-1, batch_size, p_norm_grid.shape[1])
         rows = []
         for gamma in gammas:
-            vals = jnp.concatenate([eval_batch(c, gamma) for c in chunks])[:g]
+            if timings_out is None:
+                vals = jnp.concatenate([eval_batch(c, gamma) for c in chunks])[:g]
+            else:
+                remaining, parts = g, []
+                for c in chunks:
+                    t0 = time.perf_counter()
+                    v = jax.block_until_ready(eval_batch(c, gamma))
+                    timings_out.append(
+                        (min(batch_size, remaining), time.perf_counter() - t0)
+                    )
+                    remaining -= batch_size
+                    parts.append(v)
+                vals = jnp.concatenate(parts)[:g]
             rows.append(vals)
         return jnp.stack(rows)
 

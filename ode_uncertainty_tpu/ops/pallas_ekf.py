@@ -47,6 +47,10 @@ import numpy as np
 TILE_S, TILE_L = 8, 128
 TILE = TILE_S * TILE_L
 
+# Snapshot buffers above this spill from VMEM scratch to an HBM buffer
+# reached via DMA (tests lower it to force the HBM path on small problems).
+_VMEM_SNAP_LIMIT = 6 * 1024 * 1024
+
 _EPS_GUARD = lambda dtype: (4.0 * jnp.finfo(dtype).eps) ** 2
 
 
@@ -94,6 +98,52 @@ def _rhs_exponential(t, y, p):
     return [p["growth_factor"] * x]
 
 
+def _make_rhs_hodgkin_huxley(variant):
+    """Flat tile RHS for the single-compartment HH variants; reuses the
+    model module's vectorized rate helpers (models/hodgkin_huxley.py:52-121)
+    verbatim on tiles, so kinetics parity is by construction."""
+    import importlib
+
+    # the models package re-exports a same-named factory function that
+    # shadows the submodule attribute; resolve the module explicitly
+    hh = importlib.import_module("ode_uncertainty_tpu.models.hodgkin_huxley")
+
+    dim = {"full": 8, "reduced-1": 7, "reduced-4": 4}[variant]
+
+    def rhs(t, y, p):
+        v = y[0]
+        v_t = p["V_T"]
+
+        def gate(a, b, g):
+            return a * (1.0 - g) - b * g
+
+        dm = gate(hh.alpha_m(v, v_t), hh.beta_m(v, v_t), y[1])
+        dh = gate(hh.alpha_h(v, v_t), hh.beta_h(v, v_t), y[2])
+        dn = gate(hh.alpha_n(v, v_t), hh.beta_n(v, v_t), y[3])
+        i_na = p["g_Na"] * y[1] ** 3 * y[2] * (p["E_Na"] - v)
+        i_k = p["g_K"] * y[3] ** 4 * (p["E_K"] - v)
+        i_leak = p["g_leak"] * (p["E_leak"] - v)
+        total = i_na + i_k + i_leak
+        derivs = [dm, dh, dn]
+        if dim >= 7:
+            dp = (hh.p_inf(v) - y[4]) / hh.tau_p(v, p["tau_max"])
+            dq = gate(hh.alpha_q(v), hh.beta_q(v), y[5])
+            dr = gate(hh.alpha_r(v), hh.beta_r(v), y[6])
+            derivs += [dp, dq, dr]
+            total = total + p["g_M"] * y[4] * (p["E_K"] - v)
+            total = total + p["g_L"] * y[5] ** 2 * y[6] * (p["E_Ca"] - v)
+        if dim == 8:
+            du = (hh.u_inf(v, p["V_x"]) - y[7]) / hh.tau_u(v, p["V_x"])
+            derivs.append(du)
+            total = total + (
+                p["g_T"] * hh.s_inf(v, p["V_x"]) ** 2 * y[7] * (p["E_Ca"] - v)
+            )
+        dv = (total + hh.input_current(t) / p["A"]) / p["C"]
+        return [dv] + derivs
+
+    return rhs
+
+
 TILE_RHS = {
     "lotka_volterra": _rhs_lotka_volterra,
     "lorenz": _rhs_lorenz,
@@ -101,6 +151,9 @@ TILE_RHS = {
     "pendulum": _rhs_pendulum,
     "logistic": _rhs_logistic,
     "exponential": _rhs_exponential,
+    "hodgkin_huxley_full": _make_rhs_hodgkin_huxley("full"),
+    "hodgkin_huxley_reduced-1": _make_rhs_hodgkin_huxley("reduced-1"),
+    "hodgkin_huxley_reduced-4": _make_rhs_hodgkin_huxley("reduced-4"),
 }
 
 
@@ -203,6 +256,107 @@ def _fwd_sub_tiles(lmat, b):
     return z
 
 
+def _gj_inv_tiles(a):
+    """Pivot-free Gauss-Jordan inverse of an [n][n] list-of-tiles matrix
+    (ops/small_inv.py:28-46 transliterated; only ever applied to the
+    diagonally-dominant simplified-Newton matrix I - h*gamma*J)."""
+    n = len(a)
+    m = [[a[i][j] for j in range(n)] + [
+        jnp.ones_like(a[0][0]) if i == j else jnp.zeros_like(a[0][0])
+        for j in range(n)
+    ] for i in range(n)]
+    for j in range(n):
+        pivot = m[j][j]
+        row = [m[j][k] / pivot for k in range(2 * n)]
+        for i in range(n):
+            if i == j:
+                continue
+            col = m[i][j]
+            m[i] = [m[i][k] - col * row[k] for k in range(2 * n)]
+        m[j] = row
+    return [[m[i][n + j] for j in range(n)] for i in range(n)]
+
+
+def _matvec_tiles(a, v):
+    return [sum(a[i][j] * v[j] for j in range(len(v))) for i in range(len(a))]
+
+
+def _make_sdirk_step_tiles(tile_rhs, h, newton_iters, n):
+    """Kvaerno3 ESDIRK step on flat tile lists (solvers/sdirk.py:96-148
+    transliterated): one base-point Jacobian + Gauss-Jordan inverse drives
+    fixed-iteration simplified Newton; the stage solves carry a custom_jvp
+    implicit-function rule so the in-kernel vjp reuses one inverse at each
+    stage solution instead of differentiating the Newton loop."""
+    from ode_uncertainty_tpu.solvers.sdirk import _A, _B_ERR, _B_SOL, _C, _GAMMA
+
+    h_gamma = h * _GAMMA
+
+    @jax.custom_jvp
+    def stage_solve(t_i, known, p, z0, minv):
+        def body(_, z):
+            f = tile_rhs(t_i, z, p)
+            r = [z[i] - known[i] - h_gamma * f[i] for i in range(n)]
+            upd = _matvec_tiles(minv, r)
+            return [z[i] - upd[i] for i in range(n)]
+
+        return jax.lax.fori_loop(0, newton_iters, body, list(z0))
+
+    @stage_solve.defjvp
+    def stage_solve_jvp(primals, tangents):
+        t_i, known, p, z0, minv = primals
+        dt_i, dknown, dp, _, _ = tangents
+        z = stage_solve(t_i, known, p, z0, minv)
+        # Jacobian at the solution, column by column through the tile RHS
+        jac_cols = []
+        for j in range(n):
+            tan = [jnp.ones_like(z[0]) if i == j else jnp.zeros_like(z[0]) for i in range(n)]
+            _, col = jax.jvp(lambda zz: tile_rhs(t_i, zz, p), (z,), (tan,))
+            jac_cols.append(col)
+        m_sol = [[
+            (1.0 if i == j else 0.0) - h_gamma * jac_cols[j][i] for j in range(n)
+        ] for i in range(n)]
+        minv_sol = _gj_inv_tiles(m_sol)
+
+        def g(ti_, known_, p_):
+            f = tile_rhs(ti_, z, p_)
+            return [known_[i] + h_gamma * f[i] for i in range(n)]
+
+        _, dg = jax.jvp(g, (t_i, known, p), (dt_i, dknown, dp))
+        return z, _matvec_tiles(minv_sol, dg)
+
+    def step(t, y, params):
+        f0 = tile_rhs(t, y, params)
+        # base-point Jacobian + inverse (iteration accelerant only)
+        jac_cols = []
+        for j in range(n):
+            tan = [jnp.ones_like(y[0]) if i == j else jnp.zeros_like(y[0]) for i in range(n)]
+            _, col = jax.jvp(lambda zz: tile_rhs(t, zz, params), (y,), (tan,))
+            jac_cols.append(col)
+        m0 = [[
+            (1.0 if i == j else 0.0) - h_gamma * jac_cols[j][i] for j in range(n)
+        ] for i in range(n)]
+        minv0 = jax.lax.stop_gradient(_gj_inv_tiles(m0))
+
+        ks = [f0]
+        for i in range(1, 4):
+            t_i = t + _C[i] * h
+            known = list(y)
+            for j in range(i):
+                if _A[i][j] != 0.0:
+                    known = [known[k] + (h * _A[i][j]) * ks[j][k] for k in range(n)]
+            z0 = [known[k] + h_gamma * ks[i - 1][k] for k in range(n)]
+            z = stage_solve(t_i, known, params, z0, minv0)
+            ks.append(tile_rhs(t_i, z, params))
+
+        x_next = list(y)
+        for i in range(4):
+            if _B_SOL[i] != 0.0:
+                x_next = [x_next[k] + (h * _B_SOL[i]) * ks[i][k] for k in range(n)]
+        return x_next
+
+    return step
+
+
 def _bwd_sub_tiles(lmat, b):
     """Solves L^T z = b by backward substitution."""
     n = len(b)
@@ -222,9 +376,10 @@ def _bwd_sub_tiles(lmat, b):
 def supports(model, solver, ekf, obs, fast_path: bool = True) -> bool:
     """Whether the fused kernel covers this configuration."""
     from ode_uncertainty_tpu.solvers.erk import ERK
+    from ode_uncertainty_tpu.solvers.sdirk import Kvaerno3
 
     return (
-        isinstance(solver, ERK)
+        isinstance(solver, (ERK, Kvaerno3))
         and model.name in TILE_RHS
         and getattr(ekf, "disable_cov_update", False)
         and _detect_uniform(obs) is not None
@@ -245,42 +400,44 @@ def _detect_uniform(obs):
     return None
 
 
-def make_nll_pallas(
-    model,
-    solver,
-    ekf,
-    spec,
-    obs,
-    state0,
-    num_steps: int,
-    q_sqrt,
-    interpret: bool = False,
-) -> Callable:
-    """Builds ``nll_b(p_norm_b [B, P_opt], gamma_sqrt []) -> [B]`` with a
-    fused-Pallas forward and a custom-VJP recompute backward.
+class _ChainMath:
+    """The per-chain tile math shared by the fused kernels and the plain-XLA
+    debug/CI evaluator: interval body, initial state, and the static layout
+    metadata (observation grid, parameter offsets, constants)."""
 
-    ``q_sqrt`` [n, n] is baked in as a compile-time constant (it is fixed
-    per experiment; the tempering scale ``gamma_sqrt`` stays traced).
-    B must be positive; it is padded to a multiple of 1024 internally.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    def __init__(self, interval, init_state, **meta):
+        self.interval = interval
+        self.init_state = init_state
+        for k, v in meta.items():
+            setattr(self, k, v)
 
+
+def _build_chain_math(model, solver, spec, obs, state0, q_sqrt) -> _ChainMath:
     uniform = _detect_uniform(obs)
     assert uniform is not None, "pallas NLL needs a uniform observation grid"
     first, d, n_obs = uniform
     assert model.name in TILE_RHS, f"no tile RHS for model {model.name!r}"
-    assert getattr(ekf, "disable_cov_update", False), (
-        "pallas NLL covers disable_cov_update=True only"
-    )
+
+    from ode_uncertainty_tpu.solvers.erk import ERK
+    from ode_uncertainty_tpu.solvers.sdirk import Kvaerno3
 
     tile_rhs = TILE_RHS[model.name]
-    tab = solver.tableau
     h = float(solver.h)
     dtype = state0.x.dtype
     n = int(state0.x.size)
     L = int(obs.obs_dim)
     t0 = float(state0.t)
+
+    if isinstance(solver, ERK):
+        tab = solver.tableau
+
+        def step_tiles(t, y, params):
+            return _erk_step_tiles(tile_rhs, tab, h, t, y, params)
+
+    elif isinstance(solver, Kvaerno3):
+        step_tiles = _make_sdirk_step_tiles(tile_rhs, h, solver.newton_iters, n)
+    else:
+        raise TypeError(f"unsupported solver for pallas NLL: {solver!r}")
 
     # All closed-over constants as nested python floats: python scalars are
     # weakly typed, so products stay in the kernel dtype under x64 mode
@@ -290,8 +447,6 @@ def make_nll_pallas(
     h_np = np.asarray(obs.H, np.float64).tolist()  # [L][n]
     r_np = np.asarray(obs.R_sqrt, np.float64).tolist()  # [L][L]
     q_np = np.asarray(q_sqrt, np.float64).tolist()  # [n][n]
-    ys_np = np.asarray(obs.ys, dtype)  # [n_obs_total, L]
-    assert ys_np.shape[0] >= n_obs
 
     # flat parameter layout (sorted keys; scalars only)
     offsets = {}
@@ -315,7 +470,7 @@ def make_nll_pallas(
         with the tempering noise block; local-error update disabled)."""
 
         def step_fn(x_list):
-            return _erk_step_tiles(tile_rhs, tab, h, t, x_list, params)
+            return step_tiles(t, x_list, params)
 
         x_next, f_lin = jax.linearize(step_fn, x)
         cols = []  # cols[j][i] = (J P)_{ij}
@@ -415,28 +570,23 @@ def make_nll_pallas(
         """``count`` predicts followed by one correct; the unit the backward
         pass checkpoints (same boundary as inference/nll.py:154-162).
 
-        The predict span runs as a ``lax.scan``: a python unroll makes the
-        flat QR chain length O(T), which sends XLA compile time superlinear
-        (measured: 16/24/32 unrolled steps -> 10/26/51 s on CPU). With the
-        backward pass hand-scheduled in the kernel there are no XLA-level
-        autodiff residuals to flatten for, so a loop costs nothing.
+        ``count`` is a static python int (uniform-grid d, or first+1), so
+        the predict span is python-unrolled: the bwd kernel calls
+        ``jax.vjp`` over this function, and a flat op chain is the only
+        form Mosaic can transpose in-kernel (a lax loop here leaves a
+        scan-transpose in the jaxpr, which fails Mosaic lowering; a float
+        time carry additionally trips "not a fori_loop index"). The outer
+        per-interval loop stays a ``fori_loop``, so trace size is O(d) per
+        kernel, not O(T).
         """
         params = _params_dict(p_rows)
-
-        def body(carry, _):
-            t, x, p_mat = carry
-            t, x, p_mat = _predict(t, x, p_mat, params, gamma_sqrt)
-            return (t, x, p_mat), None
-
-        (t, x, p_mat), _ = jax.lax.scan(
-            body, (jnp.asarray(t_start, dtype), x, p_mat), None, length=count
-        )
+        t_base = jnp.asarray(t_start, dtype)
+        for i in range(count):
+            _, x, p_mat = _predict(
+                t_base + float(i) * h, x, p_mat, params, gamma_sqrt
+            )
         x, p_mat, nlg = _correct(x, p_mat, y_vals)
         return x, p_mat, nlg
-
-    # ---------------- kernels --------------------------------------------
-
-    zero_tile = lambda: jnp.zeros((TILE_S, TILE_L), dtype)
 
     def _init_state():
         x = [jnp.full((TILE_S, TILE_L), float(x0_flat[i]), dtype) for i in range(n)]
@@ -445,6 +595,102 @@ def make_nll_pallas(
             for i in range(n)
         ]
         return x, p_mat
+
+    return _ChainMath(
+        _interval, _init_state,
+        first=first, d=d, n_obs=n_obs, n=n, L=L, h=h, t0=t0, dtype=dtype,
+        k_params=k_params, offsets=offsets,
+    )
+
+
+def make_nll_tiles(
+    model, solver, ekf, spec, obs, state0, num_steps: int, q_sqrt
+) -> Callable:
+    """Plain-XLA evaluation of the exact tile math the fused kernels run —
+    ``nll_b(p_norm_b [B <= 1024, P_opt], gamma_sqrt []) -> [B]`` with
+    gradients via ordinary XLA autodiff (no ``pallas_call``, no custom VJP).
+
+    Exists for CI: on single-core CPU hosts, compiling the hand-scheduled
+    kernels in interpreter mode is impractical (the backward kernel's
+    recompute+vjp structure defeats XLA:CPU fusion into thousands of
+    per-fusion LLVM codegen invocations, ~0.3 s each). This evaluator runs
+    the identical interval body as a regular XLA program, which fuses and
+    compiles in seconds, so the tile transliteration of the filter math
+    (tests/test_pallas_ekf.py) stays covered on every run; the kernels
+    themselves are cross-checked on real TPU (scripts/tpu_probe_r3.py) and
+    by the ODEUQ_SLOW_TESTS-gated interpreter tests.
+    """
+    assert getattr(ekf, "disable_cov_update", False)
+    cm = _build_chain_math(model, solver, spec, obs, state0, q_sqrt)
+    dtype = cm.dtype
+    ys_np = np.asarray(obs.ys, dtype)
+    assert ys_np.shape[0] >= cm.n_obs
+
+    @jax.jit
+    def _nll_tile(p_tiles, gamma_sqrt):
+        p_rows = [p_tiles[k] for k in range(cm.k_params)]
+        y = lambda j: [jnp.asarray(ys_np[j, l], dtype) for l in range(cm.L)]
+        x, p_mat = cm.init_state()
+        x, p_mat, nll = cm.interval(
+            x, p_mat, p_rows, gamma_sqrt, y(0), cm.t0, cm.first + 1
+        )
+        for j in range(1, cm.n_obs):
+            t_start = cm.t0 + (cm.first + 1 + (j - 1) * cm.d) * cm.h
+            x, p_mat, nlg = cm.interval(
+                x, p_mat, p_rows, gamma_sqrt, y(j), t_start, cm.d
+            )
+            nll = nll + nlg
+        return nll
+
+    def nll_b(p_norm_b, gamma_sqrt):
+        b = p_norm_b.shape[0]
+        assert b <= TILE, "debug evaluator covers a single tile"
+        phys = jax.vmap(lambda p: spec.flatten(spec.to_params(p)))(
+            p_norm_b.astype(dtype)
+        ).astype(dtype)  # [B, K]
+        phys = jnp.concatenate(
+            [phys, jnp.broadcast_to(phys[:1], (TILE - b, cm.k_params))], axis=0
+        ) if b != TILE else phys
+        p_tiles = phys.T.reshape(cm.k_params, TILE_S, TILE_L)
+        out = _nll_tile(p_tiles, jnp.asarray(gamma_sqrt, dtype))
+        return out.reshape(TILE)[:b]
+
+    return nll_b
+
+
+def make_nll_pallas(
+    model,
+    solver,
+    ekf,
+    spec,
+    obs,
+    state0,
+    num_steps: int,
+    q_sqrt,
+    interpret: bool = False,
+) -> Callable:
+    """Builds ``nll_b(p_norm_b [B, P_opt], gamma_sqrt []) -> [B]`` with a
+    fused-Pallas forward and a custom-VJP recompute backward.
+
+    ``q_sqrt`` [n, n] is baked in as a compile-time constant (it is fixed
+    per experiment; the tempering scale ``gamma_sqrt`` stays traced).
+    B must be positive; it is padded to a multiple of 1024 internally.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert getattr(ekf, "disable_cov_update", False), (
+        "pallas NLL covers disable_cov_update=True only"
+    )
+    cm = _build_chain_math(model, solver, spec, obs, state0, q_sqrt)
+    n, k_params, L, dtype = cm.n, cm.k_params, cm.L, cm.dtype
+    first, d, n_obs, t0, h = cm.first, cm.d, cm.n_obs, cm.t0, cm.h
+    _interval = cm.interval
+    _init_state = cm.init_state
+    ys_np = np.asarray(obs.ys, dtype)  # [n_obs_total, L]
+    assert ys_np.shape[0] >= n_obs
+
+    zero_tile = lambda: jnp.zeros((TILE_S, TILE_L), dtype)
 
     def _load_params(params_ref):
         return [params_ref[k, 0] for k in range(k_params)]
@@ -484,22 +730,29 @@ def make_nll_pallas(
         out_ref[0] = nll
 
     rows_snap = n + n * n
+    # One snapshot per observation interval. Small horizons keep them in a
+    # VMEM scratch (direct indexing); long implicit horizons (HH-full:
+    # 10^4 intervals x 72 tiles = ~2.9 GB) spill to a compiler-placed
+    # (HBM) buffer reached via async DMA through a VMEM staging tile-stack.
+    vmem_snap_bytes = n_obs * rows_snap * TILE * jnp.dtype(dtype).itemsize
+    use_hbm_snap = vmem_snap_bytes > _VMEM_SNAP_LIMIT
 
-    def bwd_kernel(params_ref, ys_ref, gamma_ref, g_ref, dparams_ref, dgamma_ref, snap_ref):
+    def _bwd_body(params_ref, ys_ref, gamma_ref, g_ref, dparams_ref, dgamma_ref,
+                  snap_store, snap_load):
         gamma_sqrt = gamma_ref[0, 0]
         p_rows = _load_params(params_ref)
         g = g_ref[0]  # [8, 128] incoming NLL cotangent
 
         # phase 1: forward recompute, snapshotting each interval's entry state
         x, p_mat = _init_state()
-        snap_ref[0] = _pack(x, p_mat)
+        snap_store(0, _pack(x, p_mat))
         x, p_mat, _ = _interval(
             x, p_mat, p_rows, gamma_sqrt, _load_y(ys_ref, 0), t0, first + 1
         )
 
         def fwd_body(i, packed):
             x, p_mat = _unpack(packed)
-            snap_ref[i + 1] = packed
+            snap_store(i + 1, packed)
             t_start = t0 + (first + 1 + i * d) * h
             x, p_mat, _ = _interval(
                 x, p_mat, p_rows, gamma_sqrt, _load_y(ys_ref, i + 1), t_start, d
@@ -520,7 +773,7 @@ def make_nll_pallas(
             j = n_obs - 1 - i  # observation index, n_obs-1 .. 1
             t_start = t0 + (first + 1) * h + (j - 1) * d * h
             y_vals = _load_y(ys_ref, j)
-            x_in, p_in = _unpack(snap_ref[j])
+            x_in, p_in = _unpack(snap_load(j))
 
             def f(x, p_mat, p_rows, gam):
                 xo, po, nlg = _interval(x, p_mat, p_rows, gam, y_vals, t_start, d)
@@ -537,7 +790,7 @@ def make_nll_pallas(
         dx, dp_mat = _unpack(packed_d)
 
         # interval 0 (different span length) unrolled
-        x_in, p_in = _unpack(snap_ref[0])
+        x_in, p_in = _unpack(snap_load(0))
         y0 = _load_y(ys_ref, 0)
 
         def f0(x, p_mat, p_rows, gam):
@@ -551,7 +804,44 @@ def make_nll_pallas(
 
         dparams_ref[:, 0] = jnp.stack(dpar)
         # the scalar gamma cotangent rides out in one element of the tile
-        dgamma_ref[0] = jnp.zeros((TILE_S, TILE_L), dtype).at[0, 0].set(dgam)
+        # (iota mask, not .at[].set — scatter has no Mosaic TPU lowering)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L), 1)
+        dgamma_ref[0] = jnp.where(
+            (ri == 0) & (ci == 0), dgam.astype(dtype), jnp.zeros((), dtype)
+        )
+
+    if use_hbm_snap:
+
+        def bwd_kernel(params_ref, ys_ref, gamma_ref, g_ref,
+                       dparams_ref, dgamma_ref, snap_ref, stage_ref, dma_sem):
+            def snap_store(j, packed):
+                stage_ref[...] = packed
+                cp = pltpu.make_async_copy(stage_ref, snap_ref.at[j], dma_sem)
+                cp.start()
+                cp.wait()
+
+            def snap_load(j):
+                cp = pltpu.make_async_copy(snap_ref.at[j], stage_ref, dma_sem)
+                cp.start()
+                cp.wait()
+                return stage_ref[...]
+
+            _bwd_body(params_ref, ys_ref, gamma_ref, g_ref,
+                      dparams_ref, dgamma_ref, snap_store, snap_load)
+
+    else:
+
+        def bwd_kernel(params_ref, ys_ref, gamma_ref, g_ref,
+                       dparams_ref, dgamma_ref, snap_ref):
+            def snap_store(j, packed):
+                snap_ref[j] = packed
+
+            def snap_load(j):
+                return snap_ref[j]
+
+            _bwd_body(params_ref, ys_ref, gamma_ref, g_ref,
+                      dparams_ref, dgamma_ref, snap_store, snap_load)
 
     # ---------------- pallas_call wrappers -------------------------------
 
@@ -607,14 +897,27 @@ def make_nll_pallas(
                 pl.BlockSpec(
                     (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
-            ],
+            ]
+            + ([pl.BlockSpec(memory_space=pl.ANY)] if use_hbm_snap else []),
             out_shape=[
                 jax.ShapeDtypeStruct((k_params, g_tiles, TILE_S, TILE_L), dtype),
                 jax.ShapeDtypeStruct((g_tiles, TILE_S, TILE_L), dtype),
-            ],
-            scratch_shapes=[pltpu.VMEM((n_obs, rows_snap, TILE_S, TILE_L), dtype)],
+            ]
+            + (
+                [jax.ShapeDtypeStruct((n_obs, rows_snap, TILE_S, TILE_L), dtype)]
+                if use_hbm_snap
+                else []
+            ),
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((rows_snap, TILE_S, TILE_L), dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                ]
+                if use_hbm_snap
+                else [pltpu.VMEM((n_obs, rows_snap, TILE_S, TILE_L), dtype)]
+            ),
             interpret=interpret,
-        )(phys_t, ys_const, gamma_arr, g_t)
+        )(phys_t, ys_const, gamma_arr, g_t)[:2]
 
     @jax.custom_vjp
     def _nll_phys(phys, gamma_sqrt):  # phys [B_pad, K]

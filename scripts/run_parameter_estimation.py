@@ -217,18 +217,27 @@ def evaluate(cfg) -> None:
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, len(axes))
     grid_j = jnp.asarray(grid, dtype)
 
-    landscape = make_nll_landscape(nll, q_sqrt, batch_size=cfg.get("eval_batch", 256))
+    batch_times: list = []
+    landscape = make_nll_landscape(
+        nll, q_sqrt, batch_size=cfg.get("eval_batch", 256), timings_out=batch_times
+    )
     t0 = time.perf_counter()
     vals = np.asarray(landscape(grid_j, gammas))
     wall = time.perf_counter() - t0
     per_eval_ns = wall / max(vals.size, 1) * 1e9
 
+    # Per-eval timings from the measured per-batch dispatch times: each grid
+    # point carries its own batch's amortized ns (first batch includes the
+    # jit compile, matching how the reference's first timed eval does).
+    timings = np.concatenate(
+        [np.full(npts, sec / max(npts, 1) * 1e9) for npts, sec in batch_times]
+    ) if batch_times else np.full(max(vals.size, 1), per_eval_ns)
+
     results = {
         "param_evals": grid * (hi - lo) + lo,
         "nll_evals": vals,
         "gammas": np.asarray(gammas),
-        # per-eval timing; batched on device, so one amortized number per eval
-        "timings": np.full(max(vals.size - 1, 1), per_eval_ns),
+        "timings": timings[1:] if timings.size > 1 else timings,
     }
     store_data(results, cfg["output"], mode="a")
     print(

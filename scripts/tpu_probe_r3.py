@@ -96,6 +96,48 @@ def probe_lv(batch=8192):
         }), flush=True)
 
 
+def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
+    """Implicit (Kvaerno3, HH-full) Pallas kernel vs the XLA NLL on TPU:
+    value + grad agreement at a short horizon, then a short-horizon timing."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pallas_ekf import _hh_rig
+
+    from ode_uncertainty_tpu.ops.pallas_ekf import make_nll_pallas
+
+    dtype = jnp.float32
+    m, sol, ekf, spec, obs, state0, nll, n_steps = _hh_rig(
+        dtype, num_steps=num_steps, variant="full"
+    )
+    n = state0.x.size
+    nll_pl = make_nll_pallas(m, sol, ekf, spec, obs, state0, n_steps, np.eye(n))
+    p0 = spec.sample_norm(jax.random.key(0), batch).astype(dtype)
+    gam = jnp.asarray(0.01, dtype)
+    q = jnp.eye(n, dtype=dtype)
+
+    vals_ref, g_ref = jax.jit(jax.vmap(jax.value_and_grad(lambda p: nll(p, q, gam))))(p0)
+
+    @jax.jit
+    def vg_pl(pb):
+        vals, vjp = jax.vjp(lambda x: nll_pl(x, gam), pb)
+        return vals, vjp(jnp.ones_like(vals))[0]
+
+    vals_pl, g_pl = vg_pl(p0)
+    err_v = float(jnp.max(jnp.abs(vals_ref - vals_pl) / (jnp.abs(vals_ref) + 1.0)))
+    err_g = float(jnp.max(jnp.abs(g_ref - g_pl) / (jnp.abs(g_ref) + 1e-2)))
+    dt_ref = _time(lambda p: jax.jit(jax.vmap(jax.value_and_grad(lambda q_: nll(q_, q, gam))))(p), p0, reps=3)
+    dt_pl = _time(vg_pl, p0, reps=3)
+    print(json.dumps({
+        "probe": "hh_pallas_crosscheck", "steps": n_steps, "batch": batch,
+        "rel_err_val": err_v, "rel_err_grad": err_g,
+        "xla_steps_per_sec": round(n_steps * batch / dt_ref, 0),
+        "pallas_steps_per_sec": round(n_steps * batch / dt_pl, 0),
+    }), flush=True)
+
+
 def probe_hh(batches=(128, 256, 512)):
     steps = 10000
     for b in batches:
@@ -124,5 +166,10 @@ if __name__ == "__main__":
         probe_verify()
     if "lv" not in skip:
         probe_lv()
+    if "hhpallas" not in skip:
+        try:
+            probe_hh_pallas_crosscheck()
+        except Exception as e:
+            print(json.dumps({"probe": "hh_pallas_crosscheck", "error": repr(e)[:300]}), flush=True)
     if "hh" not in skip:
         probe_hh([int(x) for x in args.hh_batches.split(",")])
