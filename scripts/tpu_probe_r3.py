@@ -118,7 +118,8 @@ def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
     gam = jnp.asarray(0.01, dtype)
     q = jnp.eye(n, dtype=dtype)
 
-    vals_ref, g_ref = jax.jit(jax.vmap(jax.value_and_grad(lambda p: nll(p, q, gam))))(p0)
+    vg_ref = jax.jit(jax.vmap(jax.value_and_grad(lambda p: nll(p, q, gam))))
+    vals_ref, g_ref = vg_ref(p0)
 
     @jax.jit
     def vg_pl(pb):
@@ -128,7 +129,7 @@ def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
     vals_pl, g_pl = vg_pl(p0)
     err_v = float(jnp.max(jnp.abs(vals_ref - vals_pl) / (jnp.abs(vals_ref) + 1.0)))
     err_g = float(jnp.max(jnp.abs(g_ref - g_pl) / (jnp.abs(g_ref) + 1e-2)))
-    dt_ref = _time(lambda p: jax.jit(jax.vmap(jax.value_and_grad(lambda q_: nll(q_, q, gam))))(p), p0, reps=3)
+    dt_ref = _time(vg_ref, p0, reps=3)
     dt_pl = _time(vg_pl, p0, reps=3)
     print(json.dumps({
         "probe": "hh_pallas_crosscheck", "steps": n_steps, "batch": batch,
@@ -139,17 +140,28 @@ def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
 
 
 def probe_hh(batches=(128, 256, 512)):
+    """Bench-horizon (10k steps) implicit NLL+grad: XLA path batch sweep
+    (crash boundary for the bench batch) then the fused Pallas kernel at
+    the same shapes — the numbers that decide the ODEUQ_HH_IMPL default."""
+    import os
+
     steps = 10000
-    for b in batches:
-        try:
-            fn, p, _ = _bench_build("hh_full", b)
-            dt = _time(fn, p, reps=3)
-            print(json.dumps({
-                "probe": "hh_full", "batch": b,
-                "steps_per_sec": round(steps * b / dt, 0), "sec_per_eval": round(dt, 2),
-            }), flush=True)
-        except Exception as e:  # crash boundary probe: report, keep going
-            print(json.dumps({"probe": "hh_full", "batch": b, "error": repr(e)[:200]}), flush=True)
+    for impl in ("xla", "pallas"):
+        os.environ["ODEUQ_HH_IMPL"] = impl
+        for b in batches:
+            try:
+                fn, p, _ = _bench_build("hh_full", b)
+                dt = _time(fn, p, reps=3)
+                print(json.dumps({
+                    "probe": "hh_full", "impl": impl, "batch": b,
+                    "steps_per_sec": round(steps * b / dt, 0), "sec_per_eval": round(dt, 2),
+                }), flush=True)
+            except Exception as e:  # crash boundary probe: report, keep going
+                print(json.dumps({
+                    "probe": "hh_full", "impl": impl, "batch": b,
+                    "error": repr(e)[:200],
+                }), flush=True)
+    os.environ.pop("ODEUQ_HH_IMPL", None)
 
 
 if __name__ == "__main__":
