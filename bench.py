@@ -56,7 +56,12 @@ def _build(workload, dtype_str, batch, steps=None):
 
     if workload == "hh_full":
         m = models.hodgkin_huxley("full")
-        sol = solvers.kvaerno3(step_size=h)
+        # ODEUQ_SDIRK_REMAT=1: rematerialize the stage-solve inverse in the
+        # backward pass (A/B knob; see solvers/sdirk.py:_make_stage_solver).
+        sol = solvers.kvaerno3(
+            step_size=h,
+            remat_stage_inverse=os.environ.get("ODEUQ_SDIRK_REMAT") == "1",
+        )
         x0 = m.build_initial_value(jnp.array([[-70.0]], dtype), m.params).astype(dtype)
         n = 8
         h_mat = np.zeros((1, n))

@@ -49,13 +49,20 @@ _B_ERR = _A[2] + ()  # embedded 2nd-order solution = 3rd stage row
 _C = (0.0, 2.0 * _GAMMA, 1.0, 1.0)
 
 
-def _make_stage_solver(f_flat, newton_iters: int):
+def _make_stage_solver(f_flat, newton_iters: int, remat_inverse: bool = False):
     """Builds the custom-differentiable stage solve.
 
     Everything traced (t_i, known, params, z0, minv, h_gamma) is an explicit
     argument: ``jax.custom_jvp`` functions must not close over tracers
     (closed-over values escape the defining trace when the jvp rule runs).
     ``f_flat`` and ``newton_iters`` are static.
+
+    ``remat_inverse``: mark the solution-point Jacobian + inverse of the
+    derivative rule for rematerialization, so reverse mode stores the stage
+    solution ``z`` [n] instead of the [n, n] inverse (whose minor dims pad
+    up to 16x in TPU residual stacks) and recomputes the inverse during the
+    backward sweep. Trades HBM residual traffic for VPU recompute; an
+    on-hardware A/B knob (ODEUQ_SDIRK_REMAT=1 in bench/probe).
     """
 
     @jax.custom_jvp
@@ -69,6 +76,15 @@ def _make_stage_solver(f_flat, newton_iters: int):
 
         return lax.fori_loop(0, newton_iters, newton_iter, z0)
 
+    def _minv_at(t_i, z, p, h_gamma):
+        n = z.shape[-1]
+        eye = jnp.eye(n, dtype=z.dtype)
+        jac_sol = jax.jacfwd(lambda zz: f_flat(t_i, zz, p))(z)
+        return inv_small(eye - h_gamma * jac_sol)
+
+    if remat_inverse:
+        _minv_at = jax.checkpoint(_minv_at)
+
     @stage_solve.defjvp
     def stage_solve_jvp(primals, tangents):
         """Implicit-function derivative: dz = (I - hg*J(z*))^-1 dG with
@@ -79,10 +95,7 @@ def _make_stage_solver(f_flat, newton_iters: int):
         t_i, known, p, z0, minv, h_gamma = primals
         dt_i, dknown, dp, _, _, dh_gamma = tangents
         z = stage_solve(t_i, known, p, z0, minv, h_gamma)
-        n = known.shape[-1]
-        eye = jnp.eye(n, dtype=known.dtype)
-        jac_sol = jax.jacfwd(lambda zz: f_flat(t_i, zz, p))(z)
-        minv_sol = inv_small(eye - h_gamma * jac_sol)
+        minv_sol = _minv_at(t_i, z, p, h_gamma)
 
         def g(ti_, known_, p_, hg_):
             return known_ + hg_ * f_flat(ti_, z, p_)
@@ -99,6 +112,7 @@ class Kvaerno3:
 
     h: float = 0.1
     newton_iters: int = 6
+    remat_stage_inverse: bool = False
 
     @property
     def name(self) -> str:
@@ -123,7 +137,9 @@ class Kvaerno3:
         jac0 = jax.jacfwd(lambda z: f_flat(t, z, params))(x0)  # [n, n]
         minv0 = lax.stop_gradient(inv_small(eye - h_gamma * jac0))
 
-        stage_solve = _make_stage_solver(f_flat, self.newton_iters)
+        stage_solve = _make_stage_solver(
+            f_flat, self.newton_iters, self.remat_stage_inverse
+        )
 
         ks = [f_flat(t, x0, params)]  # stage 1 is explicit (a11 = 0)
         for i in range(1, 4):
@@ -148,5 +164,9 @@ class Kvaerno3:
         return x_next.reshape(shape), jnp.abs(err).reshape(shape)
 
 
-def kvaerno3(step_size: float = 0.1, newton_iters: int = 6) -> Kvaerno3:
-    return Kvaerno3(step_size, newton_iters)
+def kvaerno3(
+    step_size: float = 0.1,
+    newton_iters: int = 6,
+    remat_stage_inverse: bool = False,
+) -> Kvaerno3:
+    return Kvaerno3(step_size, newton_iters, remat_stage_inverse)

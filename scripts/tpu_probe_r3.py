@@ -146,8 +146,12 @@ def probe_hh(batches=(128, 256, 512)):
     import os
 
     steps = 10000
-    for impl in ("xla", "pallas"):
-        os.environ["ODEUQ_HH_IMPL"] = impl
+    for impl in ("xla", "xla_remat", "pallas"):
+        os.environ["ODEUQ_HH_IMPL"] = "pallas" if impl == "pallas" else "xla"
+        if impl == "xla_remat":
+            os.environ["ODEUQ_SDIRK_REMAT"] = "1"
+        else:
+            os.environ.pop("ODEUQ_SDIRK_REMAT", None)
         for b in batches:
             try:
                 fn, p, _ = _bench_build("hh_full", b)
@@ -162,6 +166,7 @@ def probe_hh(batches=(128, 256, 512)):
                     "error": repr(e)[:200],
                 }), flush=True)
     os.environ.pop("ODEUQ_HH_IMPL", None)
+    os.environ.pop("ODEUQ_SDIRK_REMAT", None)
 
 
 if __name__ == "__main__":

@@ -203,11 +203,14 @@ _SHARED: dict = {}
 
 
 def _lv_shared():
-    """One rig + one interpret-mode kernel for the gated tests. n_obs=2
-    keeps every fori_loop at trip count 1 (XLA:CPU inlines it; a
-    materialized while body defeats fusion and multiplies compile time)."""
+    """One rig + one interpret-mode kernel for the gated tests. The
+    smallest span/horizon that still exercises both intervals: the bwd
+    kernel's XLA:CPU compile is ~15-20 min at this size and grows ~4x per
+    span doubling (measured: >2 h at num_steps=10/obs_every=5), so this is
+    the only interpreter-viable size on the single-core host. Realistic
+    spans run on TPU via scripts/tpu_probe_r3.py."""
     if not _SHARED:
-        rig = _lv_rig(jnp.float32, num_steps=10, obs_every=5)
+        rig = _lv_rig(jnp.float32, num_steps=4, obs_every=2)
         m, sol, ekf, spec, obs, state0, nll, num_steps = rig
         _SHARED["rig"] = rig
         _SHARED["nll_pl"] = make_nll_pallas(
@@ -280,9 +283,11 @@ def test_pallas_hbm_snapshot_path(monkeypatch):
 def test_pallas_implicit_hh_matches_xla():
     """Kvaerno3 SDIRK tile path vs the XLA NLL. The full n=8 kernel is
     cross-checked against the XLA path on TPU by scripts/tpu_probe_r3.py;
-    this covers the reduced-4 variant in interpreter mode."""
+    this covers the reduced-4 variant in interpreter mode at the minimal
+    2-interval horizon (the SDIRK tile step traces ~10x an ERK step; see
+    _lv_shared on the single-core compile wall)."""
     dtype = jnp.float32
-    m, sol, ekf, spec, obs, state0, nll, num_steps = _hh_rig(dtype)
+    m, sol, ekf, spec, obs, state0, nll, num_steps = _hh_rig(dtype, num_steps=2)
     assert supports(m, sol, ekf, obs)
     n = state0.x.size
     q = jnp.eye(n, dtype=dtype)
