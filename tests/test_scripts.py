@@ -213,3 +213,24 @@ def test_end_to_end_pipeline(tmp_path):
         "tN=5.0",
     )
     assert "tRMSE=" in out
+
+
+# ------------------------------------------------------------------ bench.py
+def test_bench_build_smoke():
+    """The driver runs bench.py on TPU every round; guard its _build plumbing
+    (workload rigs, impl env knobs, sample shapes) with a tiny CPU eval."""
+    sys.path.insert(0, str(REPO))
+    import jax
+    import numpy as np
+    import bench
+
+    fn, p, steps = bench._build("lv", "f32", batch=2, steps=20)
+    vals, grads = jax.device_get(fn(p))
+    assert steps == 20
+    assert vals.shape == (2,) and grads.shape == p.shape
+    assert np.isfinite(vals).all() and np.isfinite(grads).all()
+
+    # single-chain f64 variant (the CPU-baseline leg)
+    fn1, p1, _ = bench._build("lv", "f64", batch=1, steps=20)
+    v1, g1 = jax.device_get(fn1(p1))
+    assert np.isfinite(v1) and np.isfinite(g1).all()

@@ -164,6 +164,28 @@ def test_kvaerno3_step_is_differentiable():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_kvaerno3_remat_stage_inverse_parity():
+    """remat_stage_inverse=True must be bit-identical in the primal and
+    match gradients exactly: it only changes WHERE the backward pass gets
+    the stage-point inverse (recompute vs stored residual), not the math."""
+    m = models.van_der_pol(damping=5.0)
+    x0 = jnp.array([[1.0], [0.5]])
+
+    def loss(sol, x):
+        def body(x, _):
+            xn, _err = sol.step(m.rhs, m.params, jnp.asarray(0.0), x)
+            return xn, None
+        xN, _ = jax.lax.scan(body, x, None, length=10)
+        return jnp.sum(xN**2)
+
+    base = solvers.kvaerno3(step_size=0.05)
+    remat = solvers.kvaerno3(step_size=0.05, remat_stage_inverse=True)
+    v0, g0 = jax.value_and_grad(lambda x: loss(base, x))(x0)
+    v1, g1 = jax.value_and_grad(lambda x: loss(remat, x))(x0)
+    assert float(jnp.abs(v0 - v1)) == 0.0
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-12
+
+
 @pytest.mark.parametrize("factory", [solvers.heun_euler, solvers.bs32, solvers.rkf45, solvers.dopri65])
 def test_unrolled_step_matches_scan_formulation(factory):
     """An independent lax.scan-over-stages RK evaluation (the reference's
