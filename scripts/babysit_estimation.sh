@@ -19,11 +19,14 @@ EXP="$1"; LOG="$2"; shift 2
 cd "$(dirname "$0")"
 STALL_S=${STALL_S:-900}
 ATTEMPT_S=${ATTEMPT_S:-10800}
+# SCRIPT: the estimation entrypoint; params_baseline/ experiments use the
+# filter-free protocol script (run_parameter_estimation_baseline.py).
+SCRIPT=${SCRIPT:-run_parameter_estimation.py}
 for attempt in $(seq 1 60); do
   SEG="${LOG}.attempt"
   echo "=== attempt $attempt $(date +%T) ===" >> "$LOG"
   : > "$SEG"
-  python run_parameter_estimation.py optimize --experiment "$EXP" "$@" > "$SEG" 2>&1 &
+  python "$SCRIPT" optimize --experiment "$EXP" "$@" > "$SEG" 2>&1 &
   PY=$!
   started=$(date +%s)
   rc=""
@@ -52,7 +55,7 @@ for attempt in $(seq 1 60); do
   cat "$SEG" >> "$LOG"
   # Success only if THIS attempt printed the final summary (the log file
   # accumulates across attempts and may contain stale markers).
-  if grep -q "^optimize:" "$SEG"; then
+  if grep -qE "^(baseline )?optimize:" "$SEG"; then
     echo "=== SUCCESS after $attempt attempts $(date +%T) ===" >> "$LOG"
     rm -f "$SEG"
     exit 0

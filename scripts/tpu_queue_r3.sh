@@ -16,11 +16,22 @@ LOG=/tmp/tpu_queue_r3.log
 
 say() { echo "=== $(date +%T) $*"; }
 
-# 0. wait for the flagship babysitter (and any straggler estimation client)
+# 0. wait for the flagship babysitter (and any straggler estimation client).
+# The recorded pid can be the launcher-shell wrapper, and the wrapper can
+# die while the babysitter lives on — so key on the babysitter's terminal
+# log markers, and only fall back to the pid while neither has appeared.
+# Never start while another estimation client could still hold the TPU.
 if [ -f /tmp/hhfull_babysit.pid ]; then
   BPID=$(cat /tmp/hhfull_babysit.pid)
   say "waiting for flagship babysitter pid=$BPID"
-  while kill -0 "$BPID" 2>/dev/null; do sleep 60; done
+  while ! grep -qE "=== (SUCCESS|GAVE UP)" /tmp/hhfull_r3.log 2>/dev/null; do
+    if ! kill -0 "$BPID" 2>/dev/null \
+        && ! pgrep -x -f "bash babysit_estimation.sh params/hodgkinhuxley11_full /tmp/hhfull_r3.log" >/dev/null 2>&1; then
+      say "babysitter gone without terminal marker; proceeding"
+      break
+    fi
+    sleep 60
+  done
 fi
 say "flagship done; cooling down 240s (runtime recovery window)"
 sleep 240

@@ -15,9 +15,14 @@ trmse() {
     --set parameter_estimates_input="../results/$1.h5" 2>&1 | tail -4
 }
 
+# Wait for queue r3: its recorded pid can be the launcher-shell wrapper, so
+# also stop waiting once the queue's own completion marker appears.
 if [ -f /tmp/tpu_queue_r3.pid ] && kill -0 "$(cat /tmp/tpu_queue_r3.pid)" 2>/dev/null; then
   say "waiting for tpu_queue_r3 pid=$(cat /tmp/tpu_queue_r3.pid)"
-  while kill -0 "$(cat /tmp/tpu_queue_r3.pid)" 2>/dev/null; do sleep 120; done
+  while kill -0 "$(cat /tmp/tpu_queue_r3.pid)" 2>/dev/null \
+      && ! grep -q "queue complete" /tmp/tpu_queue_r3.log 2>/dev/null; do
+    sleep 120
+  done
 fi
 say "queue r3 done; cooling down 240s"
 sleep 240
@@ -30,8 +35,10 @@ trmse params_plus/lotkavolterra2
 sleep 240
 
 # 2. params_baseline: reference baseline protocol output of the same problem
+#    (filter-free trajectory fitting -> its own entrypoint script)
 say "params_baseline/lotkavolterra2"
-STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+STALL_S=2700 ATTEMPT_S=10800 SCRIPT=run_parameter_estimation_baseline.py \
+  bash babysit_estimation.sh \
   params_baseline/lotkavolterra2 /tmp/lv2_baseline.log
 trmse params_baseline/lotkavolterra2
 sleep 240
