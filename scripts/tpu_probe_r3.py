@@ -141,32 +141,58 @@ def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
 
 def probe_hh(batches=(128, 256, 512)):
     """Bench-horizon (10k steps) implicit NLL+grad: XLA path batch sweep
-    (crash boundary for the bench batch) then the fused Pallas kernel at
-    the same shapes — the numbers that decide the ODEUQ_HH_IMPL default."""
+    (crash boundary for the bench batch), the SDIRK stage-inverse remat A/B,
+    and the fused Pallas kernel at the same shapes — the numbers that decide
+    the ODEUQ_HH_IMPL default.
+
+    Each (impl, batch) cell runs in its OWN child process: this sweep
+    deliberately probes the remote runtime's crash boundary, and a killed
+    TPU client takes its whole process down — in-process, one crashed cell
+    would lose every remaining cell. Cells are ordered most-important-first
+    so an outer timeout still captures the bench-batch validation."""
     import os
+    import subprocess
 
     steps = 10000
-    for impl in ("xla", "xla_remat", "pallas"):
-        os.environ["ODEUQ_HH_IMPL"] = "pallas" if impl == "pallas" else "xla"
+    cells = [(impl, b) for b in batches for impl in ("xla", "xla_remat", "pallas")]
+    # bench-batch validation first, crash-boundary exploration last
+    cells.sort(key=lambda c: (c[1], ("xla", "xla_remat", "pallas").index(c[0])))
+    for impl, b in cells:
+        env = dict(os.environ)
+        env["ODEUQ_HH_IMPL"] = "pallas" if impl == "pallas" else "xla"
+        env.pop("ODEUQ_SDIRK_REMAT", None)
         if impl == "xla_remat":
-            os.environ["ODEUQ_SDIRK_REMAT"] = "1"
-        else:
-            os.environ.pop("ODEUQ_SDIRK_REMAT", None)
-        for b in batches:
-            try:
-                fn, p, _ = _bench_build("hh_full", b)
-                dt = _time(fn, p, reps=3)
-                print(json.dumps({
-                    "probe": "hh_full", "impl": impl, "batch": b,
-                    "steps_per_sec": round(steps * b / dt, 0), "sec_per_eval": round(dt, 2),
-                }), flush=True)
-            except Exception as e:  # crash boundary probe: report, keep going
-                print(json.dumps({
-                    "probe": "hh_full", "impl": impl, "batch": b,
-                    "error": repr(e)[:200],
-                }), flush=True)
-    os.environ.pop("ODEUQ_HH_IMPL", None)
-    os.environ.pop("ODEUQ_SDIRK_REMAT", None)
+            env["ODEUQ_SDIRK_REMAT"] = "1"
+        code = (
+            "import sys, time; sys.path.insert(0, '/root/repo')\n"
+            "import jax, bench\n"
+            "bench._enable_compile_cache()\n"
+            f"fn, p, _ = bench._build('hh_full', 'f32', {b})\n"
+            "jax.block_until_ready(fn(p))\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(3): out = fn(p)\n"
+            "jax.block_until_ready(out)\n"
+            "print('DT=' + str((time.perf_counter() - t0) / 3))\n"
+        )
+        rec = {"probe": "hh_full", "impl": impl, "batch": b}
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, env=env, timeout=3000,
+            )
+            dt = None
+            for line in out.stdout.splitlines():
+                if line.startswith("DT="):
+                    dt = float(line.split("=")[1])
+            if dt is not None:
+                rec.update(steps_per_sec=round(steps * b / dt, 0), sec_per_eval=round(dt, 2))
+            else:
+                rec["error"] = (out.stdout + out.stderr)[-300:]
+        except subprocess.TimeoutExpired:
+            rec["error"] = f"timeout(3000s) at batch {b}"
+        print(json.dumps(rec), flush=True)
+        if "error" in rec:
+            time.sleep(240)  # runtime recovery window after a dead client
 
 
 if __name__ == "__main__":

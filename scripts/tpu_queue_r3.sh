@@ -43,9 +43,11 @@ timeout 1800 env ODEUQ_PLATFORM=cpu python compute_trmse.py \
   --set parameter_estimates_input=../results/params/hodgkinhuxley11_full.h5 \
   2>&1 | tail -5
 
-# 2. perf probes (crash boundary for bench batch, Pallas TPU cross-checks)
+# 2. perf probes (crash boundary for bench batch, Pallas TPU cross-checks).
+# Generous timeout: uncached batch widths compile slowly on the remote stack,
+# and the probe runs each (impl,batch) cell in its own child process.
 say "tpu_probe_r3"
-timeout 5400 python tpu_probe_r3.py 2>&1 | grep -v WARNING
+timeout 14400 python tpu_probe_r3.py 2>&1 | grep -v WARNING
 sleep 60
 
 # 3. trajectory + calibration families
