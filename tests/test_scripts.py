@@ -215,6 +215,88 @@ def test_end_to_end_pipeline(tmp_path):
     assert "tRMSE=" in out
 
 
+@pytest.fixture(scope="module")
+def lv_obs_h5(tmp_path_factory):
+    """Tiny noisy LV ground truth shared by the calibration/baseline CLIs."""
+    gt_path = tmp_path_factory.mktemp("obs") / "gt.h5"
+    _run(
+        "run_ode_solver.py",
+        "--experiment",
+        "noise_gt/lotkavolterra",
+        "--set",
+        f"output={gt_path}",
+        "--set",
+        "tN=5.0",
+        "--set",
+        "solver_builder={class_path: RKF45, init_args: {step_size: 0.01}}",
+        "--set",
+        "save_interval=10",
+    )
+    return gt_path
+
+
+@pytest.mark.slow
+def test_run_calibration_cli(lv_obs_h5, tmp_path):
+    """Conrad static-noise sweep vs local-error NLL (reference
+    run_calibration_conrad_baseline_calibration.py:126-158 protocol)."""
+    out_path = tmp_path / "calib.h5"
+    out = _run(
+        "run_calibration.py",
+        "--experiment",
+        "calibration/rkf45/lotkavolterra",
+        "--set",
+        f"output={out_path}",
+        "--set",
+        f"y_path={lv_obs_h5}",
+        "--set",
+        "tN=5.0",
+        "--set",
+        "num_noise_levels=8",
+    )
+    assert "calibration: 8 levels" in out
+
+    from ode_uncertainty_tpu.utils.io import load_data
+
+    data = load_data(str(out_path))
+    assert data["noise_levels"].shape == (8,)
+    assert data["nll_conrad"].shape == (8,)
+    assert np.isfinite(data["nll_ours"]).all()
+    # the sweep must actually vary with the noise level
+    assert np.ptp(data["nll_conrad"][np.isfinite(data["nll_conrad"])]) > 0.0
+
+
+@pytest.mark.slow
+def test_run_parameter_estimation_baseline_cli(lv_obs_h5, tmp_path):
+    """Filter-free trajectory-fitting baseline (reference
+    run_parameter_estimation_baseline.py protocol): tempering-free L-BFGS."""
+    est_path = tmp_path / "base.h5"
+    out = _run(
+        "run_parameter_estimation_baseline.py",
+        "optimize",
+        "--experiment",
+        "params_baseline/lotkavolterra2",
+        "--set",
+        f"output={est_path}",
+        "--set",
+        f"y_path={lv_obs_h5}",
+        "--set",
+        "tN=5.0",
+        "--set",
+        "measurement_matrix=[[1, 0], [0, 1]]",
+        "--set",
+        "num_random_runs=3",
+        "--set",
+        "lbfgs_maxiter=20",
+    )
+    assert "baseline optimize: 3 restarts" in out
+
+    from ode_uncertainty_tpu.utils.io import load_data
+
+    data = load_data(str(est_path))
+    assert data["params_optims"].shape[0] == 3
+    assert np.isfinite(data["nll_optims"]).any()
+
+
 # ------------------------------------------------------------------ bench.py
 def test_bench_build_smoke():
     """The driver runs bench.py on TPU every round; guard its _build plumbing
