@@ -69,7 +69,8 @@ SYSTEMS: Dict[str, dict] = {
         noise_gt_solver=("Dopri65", 1e-4),
     ),
     "rlc": dict(
-        model=("RLCCircuit", {}),
+        # reference configs/gt/rlc.yaml:6-11 (explicit non-default R/L/C)
+        model=("RLCCircuit", {"resistance": 100.0, "inductance": 250.0, "capacitance": 3.5e-05}),
         x0=[[10.0], [0.0]],
         t0=0.0,
         tN_gt=10.0,
@@ -250,10 +251,19 @@ def _schedule_node(init_log=-2.0, rate=3.0):
 
 
 # --- family builders --------------------------------------------------------
+# Single-compartment HH systems where the reference's gt/ configs zero the
+# T-current conductance (configs/gt/hodgkinhuxley_{full,r1,r4}.yaml set
+# g_T: 0.0, while noise_gt/hodgkinhuxley_full.yaml and the full estimation
+# problems keep the 0.01 default). g_T only enters the `full` RHS (the
+# reduced variants have I_T = 0), so this is behavioral for gt/full only —
+# reproduced exactly regardless.
+_HH_SINGLE = ("hodgkinhuxley_full", "hodgkinhuxley_r1", "hodgkinhuxley_r4")
+
+
 def gt(system: str) -> dict:
     s = SYSTEMS[system]
     name, h = s["gt_solver"]
-    return {
+    cfg = {
         "output": f"{RESULTS}/gt/{system}.h5",
         "solver_builder": _solver_node(name, h),
         "ode_builder": _model_node(s),
@@ -264,6 +274,9 @@ def gt(system: str) -> dict:
         "save_interval": 100 if "hodgkin" in system else 10,
         "seed": 7,
     }
+    if system in _HH_SINGLE:
+        cfg["ode_builder"]["init_args"]["g_T"] = 0.0
+    return cfg
 
 
 def noise_gt(system: str) -> dict:
@@ -277,6 +290,10 @@ def noise_gt(system: str) -> dict:
         noise_var=0.1,
         save_interval=100,
     )
+    if system == "hodgkinhuxley_full":
+        # the reference's noise_gt/hodgkinhuxley_full.yaml keeps g_T: 0.01
+        # (unlike its gt/ counterpart)
+        cfg["ode_builder"]["init_args"]["g_T"] = 0.01
     return cfg
 
 
@@ -338,6 +355,10 @@ def _estimation_base(system, solver_name, h, obs_rows, ranges, optimized, evals,
         "params_optimized": optimized,
         "num_tempering_stages": kw.get("stages", 4),
         "final_gamma_zero": True,
+        # both flags are implemented (inference/nll.py) but, as in every
+        # shipped reference config, disabled
+        "initial_state_parametrized": False,
+        "parameter_sensitivity": False,
         "obs_noise_var": 0.1,
         "gamma_noise_schedule": _schedule_node(kw.get("init_log", -2.0), kw.get("decay", 3.0)),
         "gamma_noise_weights": str(kw.get("weights", [1] * s["n"])),
@@ -353,11 +374,14 @@ def _obs_row(n, idx=0):
     return [[1 if j == idx else 0 for j in range(n)]]
 
 
-def _hh_problem(tag, system, optimized_names, seed, maxiter=200, eval_key=None, obs=None):
+def _hh_problem(tag, system, optimized_names, seed, maxiter=200, evals_override=None, obs=None):
     s = SYSTEMS[system]
     opt = {k: (k in optimized_names) for k in HH_RANGES}
     evals = {k: 1 for k in HH_RANGES}
-    evals[eval_key or "C"] = 100
+    # evaluate-grid resolution: C:100 for every HH problem except the two
+    # reduced-4 conductance problems (reference params/hodgkinhuxley1_r4.yaml
+    # g_Na:100, params/hodgkinhuxley2_r4.yaml g_Na:50+g_K:50)
+    evals.update(evals_override or {"C": 100})
     rows = _obs_row(s["n"])
     if "c2" in system:  # observe V of both compartments
         d = s["n"] // 2
@@ -369,7 +393,7 @@ def _hh_problem(tag, system, optimized_names, seed, maxiter=200, eval_key=None, 
         # configs/params/hodgkinhuxley2_c2_r4.yaml params_optimized block).
         ranges = {"coupling_coeffs": [1.0, 1.0], **ranges}
         opt = {"coupling_coeffs": False, **opt}
-    return _estimation_base(
+    cfg = _estimation_base(
         system,
         "Kvaerno3",
         0.01,
@@ -382,6 +406,11 @@ def _hh_problem(tag, system, optimized_names, seed, maxiter=200, eval_key=None, 
         seed=seed,
         maxiter=maxiter,
     )
+    if system in ("hodgkinhuxley_r1", "hodgkinhuxley_r4"):
+        # reference reduced-variant estimation configs zero the (inert)
+        # T-current default (e.g. configs/params/hodgkinhuxley2_r4.yaml)
+        cfg["ode_builder"]["init_args"]["g_T"] = 0.0
+    return cfg
 
 
 def params(problem: str) -> dict:
@@ -404,10 +433,12 @@ def params(problem: str) -> dict:
             tag="pendulum", seed=7, disable_cov_update=False,
         ),
         "hodgkinhuxley1_r4": lambda: _hh_problem(
-            "hodgkinhuxley1_r4", "hodgkinhuxley_r4", {"g_Na"}, 14, eval_key="g_Na"
+            "hodgkinhuxley1_r4", "hodgkinhuxley_r4", {"g_Na"}, 14,
+            evals_override={"g_Na": 100},
         ),
         "hodgkinhuxley2_r4": lambda: _hh_problem(
-            "hodgkinhuxley2_r4", "hodgkinhuxley_r4", {"g_Na", "g_K"}, 24
+            "hodgkinhuxley2_r4", "hodgkinhuxley_r4", {"g_Na", "g_K"}, 24,
+            evals_override={"g_Na": 50, "g_K": 50},
         ),
         "hodgkinhuxley2_c2_r4": lambda: _hh_problem(
             "hodgkinhuxley2_c2_r4", "hodgkinhuxley_c2_r4", {"g_Na", "g_K"}, 224
@@ -441,28 +472,30 @@ def params(problem: str) -> dict:
     return p[problem]()
 
 
+# params_plus gamma-noise masks, exactly per reference file (diff of
+# configs/params_plus/<p>.yaml vs configs/params/<p>.yaml: only the weights
+# vector changes). Note lotkavolterra4 keeps [1, 1] — unmasked.
+_PLUS_WEIGHTS = {
+    "lotkavolterra2": [1, 0],
+    "lotkavolterra4": [1, 1],
+    "pendulum": [1, 0],
+    "hodgkinhuxley1_r4": [1, 0, 0, 0],
+    "hodgkinhuxley2_r4": [1, 0, 0, 0],
+    "hodgkinhuxley2_c2_r4": [1, 0, 0, 0, 1, 0, 0, 0],
+    "hodgkinhuxley3_c2_r4": [1, 0, 0, 0, 1, 0, 0, 0],
+    "hodgkinhuxley6_r1": [1, 1, 1, 1, 0, 0, 0],
+    "hodgkinhuxley6_c2_r1": [1, 1, 1, 1, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0],
+    "hodgkinhuxley9_r1": [1, 1, 1, 1, 0, 0, 0],
+    "hodgkinhuxley7_full": [1, 1, 1, 1, 0, 0, 0, 0],
+    "hodgkinhuxley11_full": [1, 1, 1, 1, 0, 0, 0, 0],
+}
+
+
 def params_plus(problem: str) -> dict:
     """Same problems with gamma noise masked to a state subset (the
     reference's params_plus family: only the weights vector changes)."""
     cfg = params(problem)
-    import ast
-
-    w = ast.literal_eval(cfg["gamma_noise_weights"])
-    n = len(w)
-    # mask: noise only on the observed / leading block per reference diffs
-    if problem.startswith("lotkavolterra") or problem == "pendulum":
-        mask = [1] + [0] * (n - 1)
-    elif "c2" in problem:
-        d = n // 2
-        if "r4" in problem:
-            mask = ([1] + [0] * (d - 1)) * 2
-        else:
-            mask = ([1, 1, 1, 1] + [0] * (d - 4)) * 2
-    elif "r4" in problem:
-        mask = [1] + [0] * (n - 1)
-    else:  # r1 / full: V + first gates
-        mask = [1, 1, 1, 1] + [0] * (n - 4)
-    cfg["gamma_noise_weights"] = str(mask)
+    cfg["gamma_noise_weights"] = str(_PLUS_WEIGHTS[problem])
     cfg["output"] = cfg["output"].replace("/params/", "/params_plus/")
     return cfg
 
@@ -470,6 +503,13 @@ def params_plus(problem: str) -> dict:
 def params_baseline(problem: str) -> dict:
     cfg = params(problem)
     cfg["output"] = cfg["output"].replace("/params/", "/params_baseline/")
+    # the filter-free baseline protocol has no tempering noise, and its
+    # evaluate grids are finer on LV (reference params_baseline/*.yaml)
+    cfg["gamma_noise_weights"] = None
+    if problem == "lotkavolterra2":
+        cfg["num_param_evals"] = {"alpha": 50, "beta": 50, "gamma": 1, "delta": 1}
+    elif problem == "lotkavolterra4":
+        cfg["num_param_evals"] = {"alpha": 100, "beta": 1, "gamma": 1, "delta": 1}
     return cfg
 
 
@@ -485,6 +525,10 @@ def params_temp(problem: str, level: str, granularity: str, numerical: bool = Fa
     cfg["gamma_noise_schedule"] = _schedule_node(init_log, decay)
     cfg["num_tempering_stages"] = stages
     cfg["filter_builder"]["init_args"]["disable_cov_update"] = not numerical
+    if problem == "lotkavolterra2":
+        # the ablation families grid LV2 finer than params/ (reference
+        # params_temp_*/lotkavolterra2.yaml num_param_evals 50/50)
+        cfg["num_param_evals"] = {"alpha": 50, "beta": 50, "gamma": 1, "delta": 1}
     fam = f"params_temp_{'num_' if numerical else ''}{level}_{granularity}"
     cfg["output"] = cfg["output"].replace("/params/", f"/{fam}/")
     return cfg
