@@ -58,7 +58,10 @@ def _build_rig(cfg, dtype):
         parameter_sensitivity=cfg.get("parameter_sensitivity", False),
         fast_path=cfg.get("nll_fast_path", True),
     )
-    w = jnp.asarray(parse_literal(cfg["gamma_noise_weights"]), dtype)
+    # absent/null weights mean unmasked tempering noise (the reference's
+    # params_baseline configs carry no gamma_noise_weights key)
+    w_raw = parse_literal(cfg.get("gamma_noise_weights"))
+    w = jnp.ones(n, dtype) if w_raw is None else jnp.asarray(w_raw, dtype)
     q_sqrt = jnp.diag(w)
     return model, solver, spec, ekf, obs, state0, nll, q_sqrt, num_steps
 
