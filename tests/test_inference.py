@@ -133,6 +133,74 @@ def test_nll_gradient_matches_finite_differences():
         np.testing.assert_allclose(float(g[i]), fd, rtol=5e-4, atol=1e-6)
 
 
+def test_nll_initial_state_parametrized():
+    """With the flag on, the filter's initial state is rebuilt from the
+    candidate parameters (reference run_parameter_estimation.py:744-748):
+    for Hodgkin-Huxley the steady-state gating init depends on V_T, so the
+    NLL must change relative to the fixed-x0 variant away from the truth,
+    agree at the truth, and stay differentiable."""
+    dtype = jnp.float64
+    m = models.hodgkin_huxley("reduced-4")
+    sol = solvers.kvaerno3(step_size=0.02)
+    num_steps = 80
+    x0_raw = jnp.array([[-70.0]], dtype)
+    x0 = m.build_initial_value(x0_raw, m.params).astype(dtype)
+    gt = solvers.solve(sol, m, 0.0, x0, num_steps)
+    idx = np.arange(5, num_steps + 1, 5)
+    rng = np.random.default_rng(1)
+    ys = np.asarray(gt["x"])[idx].reshape(len(idx), -1)
+    ys = ys + 0.1 * rng.standard_normal(ys.shape)
+    h_mat = np.zeros((1, 4))
+    h_mat[0, 0] = 1.0
+    obs = make_obs_model(h_mat, np.asarray(gt["t"])[idx], ys, 0.1, 0.0, 0.02, num_steps, dtype=dtype)
+    spec = make_param_spec(
+        m.params, {k: (-110.0, 5000.0) for k in m.params}, {"V_T": True}, dtype=dtype
+    )
+    ekf = SqrtEKF(disable_cov_update=True)
+    state0 = ekf.init_state(0.0, x0, const_diag(4, 1e-12, dtype), 1)
+
+    nll_fixed = make_nll(m, sol, ekf, spec, obs, state0, num_steps)
+    nll_param = make_nll(
+        m, sol, ekf, spec, obs, state0, num_steps,
+        x0_raw=x0_raw, initial_state_parametrized=True,
+    )
+    q = jnp.zeros((4, 4), dtype)
+    g0 = jnp.asarray(0.0, dtype)
+    p_true = spec.defaults_norm_opt()
+    # identical at the truth (rebuilt x0 == stored x0)
+    np.testing.assert_allclose(
+        float(nll_param(p_true, q, g0)), float(nll_fixed(p_true, q, g0)), rtol=1e-12
+    )
+    # away from the truth the rebuilt initial state changes the NLL
+    p_off = p_true + 0.02
+    v_fixed, v_param = float(nll_fixed(p_off, q, g0)), float(nll_param(p_off, q, g0))
+    assert np.isfinite(v_fixed) and np.isfinite(v_param)
+    assert abs(v_fixed - v_param) > 1e-6
+    grad = jax.grad(lambda z: nll_param(z, q, g0))(p_off)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_nll_parameter_sensitivity():
+    """parameter_sensitivity derives per-state process-noise weights from
+    the parameter Jacobian of one solver step (reference
+    run_parameter_estimation.py:760-769); the NLL must differ from the
+    externally-weighted variant at nonzero gamma and stay differentiable."""
+    _, _, spec, ekf, obs, state0, nll_plain, num_steps, x0 = _lv_problem()
+    m = models.lotka_volterra()
+    sol = solvers.rkf45(step_size=0.05)
+    nll_sens = make_nll(
+        m, sol, ekf, spec, obs, state0, num_steps, parameter_sensitivity=True
+    )
+    q = jnp.diag(jnp.ones(2))
+    gam = jnp.asarray(1e-2) ** 0.5
+    p = spec.defaults_norm_opt() + jnp.array([0.03, -0.02])
+    v_plain, v_sens = float(nll_plain(p, q, gam)), float(nll_sens(p, q, gam))
+    assert np.isfinite(v_plain) and np.isfinite(v_sens)
+    assert abs(v_plain - v_sens) > 1e-9
+    grad = jax.grad(lambda z: nll_sens(z, q, gam))(p)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
 def test_nll_remat_matches_plain():
     m, sol, spec, ekf, obs, state0, nll, num_steps, x0 = _lv_problem()
     nll_r = make_nll(m, sol, ekf, spec, obs, state0, num_steps, remat=True)
