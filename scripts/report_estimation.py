@@ -28,7 +28,10 @@ def main(cfg) -> None:
     runs, stages = nll.shape
 
     model = cfg["ode_builder"]
-    true_vals = {k: float(np.ravel(np.asarray(v))[0]) for k, v in model.params.items()}
+    # array-valued params (multi-compartment HH) repeat their name once per
+    # element in params_name, in ravel order — track a per-name cursor
+    true_flat = {k: np.ravel(np.asarray(v)) for k, v in model.params.items()}
+    cursor: dict = {}
 
     print(f"{path}: {runs} restarts x {stages} stages, params: {', '.join(names)}")
     if "gammas" in d:
@@ -53,9 +56,13 @@ def main(cfg) -> None:
     print(f"  {'param':>12} {'estimate':>14} {'truth':>14} {'rel err':>10}")
     for j, name in enumerate(names):
         est = float(params[best, -1, j])
-        tru = true_vals.get(name, np.nan)
+        i = cursor.get(name, 0)
+        cursor[name] = i + 1
+        flat = true_flat.get(name)
+        tru = float(flat[i]) if flat is not None and i < flat.size else np.nan
         rel = abs(est - tru) / max(abs(tru), 1e-12) if np.isfinite(tru) else np.nan
-        print(f"  {name:>12} {est:>14.6g} {tru:>14.6g} {rel:>9.2%}")
+        label = name if flat is None or flat.size == 1 else f"{name}[{i}]"
+        print(f"  {label:>12} {est:>14.6g} {tru:>14.6g} {rel:>9.2%}")
     if "wall_clock_s" in d:
         print(f"  wall_clock_s: {float(np.asarray(d['wall_clock_s'])):.1f}")
 
