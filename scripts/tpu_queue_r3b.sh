@@ -64,3 +64,19 @@ STALL_S=2700 ATTEMPT_S=14400 bash babysit_estimation.sh \
 trmse params/hodgkinhuxley9_r1
 
 say "queue r3b complete"
+
+# 6. human-readable recovery tables for every recorded estimation (CPU-only;
+# appended so the tables exist even with no interactive session alive)
+for exp in params/hodgkinhuxley11_full params/hodgkinhuxley6_r1 \
+           params/hodgkinhuxley2_c2_r4 params/hodgkinhuxley9_r1 \
+           params/pendulum params/hodgkinhuxley2_r4 params/lotkavolterra2 \
+           params_plus/lotkavolterra2 params_baseline/lotkavolterra2 \
+           params_temp_low_fine/lotkavolterra2; do
+  if [ -f "../results/$exp.h5" ]; then
+    say "report $exp"
+    timeout 600 env ODEUQ_PLATFORM=cpu python report_estimation.py \
+      --experiment "$exp" --set parameter_estimates_input="../results/$exp.h5" \
+      2>&1 | grep -v -i warning
+  fi
+done
+say "reports done"
