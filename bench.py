@@ -16,17 +16,35 @@ reference publishes no numbers and its pinned deps (diffrax/jaxopt/...) are
 not installed here (BASELINE.md), so the stand-in baseline is measured at
 bench time with identical numerics on this host's CPU.
 
-Prints exactly one JSON line. Set ODEUQ_BENCH=lv for the round-1 explicit
-(RKF45, Lotka-Volterra) kernel instead.
+Prints exactly ONE JSON line, unconditionally:
+
+  * healthy run — fresh measurement, and `.bench_cache.json` is updated;
+  * unreachable/flaky TPU or blown deadline — the last-good measurement
+    from `.bench_cache.json` with ``"stale": true`` and a reason, instead
+    of timing out silently (the round-3 failure mode: a dead backend ate
+    4 x 240 s of backoff plus a full CPU baseline and the driver killed the
+    run with no number at all).
+
+Orchestration on the single-chip pool (utils/runlock.py): the bench takes
+an exclusive lock that all long-running TPU clients honor at checkpointed
+iteration boundaries, waits for the active client to yield, and only then
+probes the backend. The CPU baseline is cached in the sidecar keyed by a
+hash of the kernel sources, so repeat runs skip straight to the TPU
+measurement.
+
+Set ODEUQ_BENCH=lv for the round-1 explicit (RKF45, Lotka-Volterra) kernel.
 """
 
+import hashlib
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+SIDECAR = os.path.join(REPO, ".bench_cache.json")
 
 # Workload scales mirror the shipped experiment configs
 # (configs/experiments.py params/hodgkinhuxley11_full, params/lotkavolterra2).
@@ -37,6 +55,12 @@ WORKLOADS = {
     "hh_full": dict(steps=10000, h=0.01, batch=256, tpu_reps=3, cpu_reps=3, cpu_steps=1000),
     "lv": dict(steps=2000, h=0.01, batch=8192, tpu_reps=5, cpu_reps=3, cpu_steps=2000),
 }
+
+_DEADLINE = None  # wall-clock budget, set in main()
+
+
+def _remaining() -> float:
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.monotonic()
 
 
 def _build(workload, dtype_str, batch, steps=None):
@@ -169,15 +193,133 @@ def measure_tpu(workload):
     return num_steps * batch / dt
 
 
+# ---------------------------------------------------------------------------
+# sidecar: cached CPU baseline + last-good result
+# ---------------------------------------------------------------------------
+
+
+def _load_sidecar() -> dict:
+    try:
+        with open(SIDECAR) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_sidecar(data: dict) -> None:
+    tmp = SIDECAR + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, SIDECAR)
+    except OSError:
+        pass
+
+
+def _kernel_fingerprint(workload: str) -> str:
+    """Hash of everything that defines the measured kernels (this file and
+    the package sources); the cached CPU baseline is valid only while it
+    matches, so a kernel change re-measures and a no-op rerun is instant."""
+    h = hashlib.sha256()
+    h.update(repr(sorted(WORKLOADS[workload].items())).encode())
+    pkg = os.path.join(REPO, "ode_uncertainty_tpu")
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                fp = os.path.join(root, fname)
+                h.update(fp.encode())
+                with open(fp, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# fail-fast backend probe + client quiesce
+# ---------------------------------------------------------------------------
+
+
+def _parse_probe(stdout: str, stderr: str) -> tuple[bool, str]:
+    for line in stdout.splitlines():
+        if line.startswith("PROBE_OK"):
+            plat = line.split()[1]
+            if plat == "cpu":
+                return False, "backend resolved to cpu (no accelerator visible)"
+            return True, plat
+    return False, (stderr or stdout)[-300:].replace("\n", " | ")
+
+
+def probe_tpu_backend(timeout_s: float, _code: str | None = None) -> tuple[bool, str]:
+    """Initializes the TPU backend in a child process with a hard timeout.
+    A dead/unreachable pool fails here in seconds-to-minutes instead of
+    after the full CPU baseline + four 240 s backoffs (round-3 post-mortem,
+    VERDICT r3 'What's weak' #1)."""
+    code = _code or "import jax; d = jax.devices(); print('PROBE_OK', d[0].platform, len(d))"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=max(timeout_s, 5.0),
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s:.0f}s (claim-wait or dead tunnel)"
+    return _parse_probe(out.stdout, out.stderr)
+
+
+def quiesce_clients(wait_s: float) -> None:
+    """Takes the bench lock and waits for the registered TPU client (if any)
+    to yield at its next checkpointed iteration; escalates to SIGTERM then
+    SIGKILL — safe, the clients persist full optimizer state every
+    iteration and their babysitters relaunch after the lock clears."""
+    from ode_uncertainty_tpu.utils import runlock
+
+    runlock.acquire_bench_lock()
+    pid = runlock.active_client_pid()
+    if pid is None:
+        return
+    print(f"# bench: waiting for TPU client pid={pid} to yield", file=sys.stderr)
+    deadline = time.monotonic() + max(wait_s, 10.0)
+    term_at = deadline - 35.0
+    termed = False
+    while time.monotonic() < deadline:
+        if runlock.active_client_pid() is None:
+            return
+        if not termed and time.monotonic() >= term_at:
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except OSError:
+                return
+            termed = True
+        time.sleep(2.0)
+    try:
+        os.kill(pid, signal.SIGKILL)
+    except OSError:
+        pass
+    time.sleep(2.0)
+
+
+# ---------------------------------------------------------------------------
+# measurements (each in a fresh child process)
+# ---------------------------------------------------------------------------
+
+
 def measure_tpu_subprocess(workload):
     """TPU measurement in a child process, halving the batch on a crashed
     attempt (the remote runtime intermittently kills very wide grad
-    programs; a dead client also wedges the runtime for a few minutes, so
-    failed attempts back off before respawning). Returns steps/sec."""
+    programs). Backoff between attempts is a short fixed pause (20 s, total
+    <= 60 s across the ladder — the old 240 s x 4 schedule alone blew the
+    driver budget); the overall wall-clock deadline set in main() bounds
+    every attempt. Returns steps/sec or raises."""
     w = WORKLOADS[workload]
     batch = int(os.environ.get("ODEUQ_BENCH_BATCH", w["batch"]))
     last_err = None
+    first = True
     while batch >= 32:
+        budget = _remaining() - 30.0
+        if budget <= 60.0:
+            raise RuntimeError(f"bench deadline reached; last error: {last_err}")
+        if not first:
+            time.sleep(20.0)  # brief runtime-recovery pause after a dead client
+        first = False
         code = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"
             "import bench\n"
@@ -189,7 +331,7 @@ def measure_tpu_subprocess(workload):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, env=env, timeout=3600,
+                capture_output=True, text=True, env=env, timeout=min(3600.0, budget),
             )
             for line in out.stdout.splitlines():
                 if line.startswith("TPU_STEPS_PER_SEC="):
@@ -199,7 +341,6 @@ def measure_tpu_subprocess(workload):
             last_err = f"timeout at batch {batch}"
         print(f"# bench: TPU attempt at batch {batch} failed; backing off", file=sys.stderr)
         batch //= 2
-        time.sleep(240)  # runtime recovery window after a dead client
     raise RuntimeError(f"all TPU bench attempts failed: {last_err}")
 
 
@@ -232,6 +373,53 @@ def measure_cpu_subprocess(workload):
     raise RuntimeError(f"CPU baseline failed:\n{out.stdout}\n{out.stderr}")
 
 
+def cpu_baseline(workload: str, sidecar: dict) -> float:
+    """Cached single-chain f64 baseline: re-measured only when the kernel
+    sources change (fingerprint mismatch) or no cache exists."""
+    fp = _kernel_fingerprint(workload)
+    entry = sidecar.get("cpu_baseline", {}).get(workload)
+    if entry and entry.get("fingerprint") == fp:
+        return float(entry["steps_per_sec"])
+    sps = measure_cpu_subprocess(workload)
+    sidecar.setdefault("cpu_baseline", {})[workload] = {
+        "fingerprint": fp,
+        "steps_per_sec": sps,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    _save_sidecar(sidecar)
+    return sps
+
+
+def _metric_name(workload: str) -> str:
+    return (
+        "hh_full_implicit_nll_grad_filter_steps_per_sec_batched"
+        if workload == "hh_full"
+        else "sqrt_ekf_nll_grad_filter_steps_per_sec_batched"
+    )
+
+
+def _emit_stale(workload: str, sidecar: dict, reason: str) -> int:
+    """Last-good measurement, flagged stale — ALWAYS a parsable line."""
+    lg = sidecar.get("last_good", {}).get(workload)
+    if not lg:
+        print(json.dumps({
+            "metric": _metric_name(workload), "value": 0.0,
+            "unit": "filter_steps/s", "vs_baseline": 0.0,
+            "stale": True, "stale_reason": f"{reason}; no last-good record",
+        }))
+        return 0
+    print(json.dumps({
+        "metric": lg.get("metric", _metric_name(workload)),
+        "value": lg["value"],
+        "unit": lg.get("unit", "filter_steps/s"),
+        "vs_baseline": lg["vs_baseline"],
+        "stale": True,
+        "stale_reason": reason,
+        "measured_at": lg.get("measured_at"),
+    }))
+    return 0
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: the HH-full NLL+grad program takes tens
     of minutes to compile on the remote-TPU stack (measured ~40 min); with
@@ -248,28 +436,44 @@ def _enable_compile_cache():
         pass
 
 
-def main():
+def main() -> int:
+    global _DEADLINE
     sys.path.insert(0, REPO)
     _enable_compile_cache()
+    _DEADLINE = time.monotonic() + float(os.environ.get("ODEUQ_BENCH_DEADLINE_S", "2700"))
     workload = os.environ.get("ODEUQ_BENCH", "hh_full")
-    cpu_sps = measure_cpu_subprocess(workload)
-    tpu_sps = measure_tpu_subprocess(workload)
-    name = (
-        "hh_full_implicit_nll_grad_filter_steps_per_sec_batched"
-        if workload == "hh_full"
-        else "sqrt_ekf_nll_grad_filter_steps_per_sec_batched"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": name,
-                "value": round(tpu_sps, 1),
-                "unit": "filter_steps/s",
-                "vs_baseline": round(tpu_sps / cpu_sps, 2),
-            }
-        )
-    )
+    sidecar = _load_sidecar()
+
+    from ode_uncertainty_tpu.utils import runlock
+
+    try:
+        quiesce_clients(float(os.environ.get("ODEUQ_BENCH_QUIESCE_S", "600")))
+
+        ok, info = probe_tpu_backend(float(os.environ.get("ODEUQ_BENCH_PROBE_S", "300")))
+        if not ok:
+            return _emit_stale(workload, sidecar, f"TPU backend unreachable: {info}")
+
+        cpu_sps = cpu_baseline(workload, sidecar)
+        tpu_sps = measure_tpu_subprocess(workload)
+        result = {
+            "metric": _metric_name(workload),
+            "value": round(tpu_sps, 1),
+            "unit": "filter_steps/s",
+            "vs_baseline": round(tpu_sps / cpu_sps, 2),
+        }
+        print(json.dumps(result))
+        sidecar.setdefault("last_good", {})[workload] = {
+            **result,
+            "cpu_steps_per_sec": cpu_sps,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        _save_sidecar(sidecar)
+        return 0
+    except Exception as e:  # any failure still yields a parsable line
+        return _emit_stale(workload, sidecar, f"{type(e).__name__}: {e}")
+    finally:
+        runlock.release_bench_lock()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -55,6 +55,8 @@ from typing import Callable, NamedTuple
 
 import numpy as np
 
+from ode_uncertainty_tpu.utils import runlock
+
 
 class HostLBFGSResult(NamedTuple):
     x: np.ndarray  # [R, P]
@@ -143,22 +145,51 @@ _STATE_KEYS = (
 )
 
 
-def _save_iter_state(path: str, it: int, state: dict) -> None:
+def _state_shapes(m: int, r: int, p: int) -> dict:
+    """Expected array shape for every checkpointed state key."""
+    return {
+        "x": (r, p), "f": (r,), "g": (r, p), "iters": (r,), "n_fev": (r,),
+        "s_hist": (m, r, p), "y_hist": (m, r, p), "rho": (m, r),
+        "head": (r,), "count": (r,), "stall": (r,), "done": (r,),
+    }
+
+
+def _unit_fingerprint(x0: np.ndarray, token: str) -> str:
+    """Hash of the unit's inputs (initial points + caller token such as the
+    tempering gamma): a sidecar from a *different* unit input — stale file
+    after a store reset, or a changed config — must not be restored."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(x0, np.float64)).tobytes())
+    h.update(token.encode())
+    return h.hexdigest()
+
+
+def _save_iter_state(path: str, it: int, state: dict, fingerprint: str) -> None:
     """Atomically persists the full optimizer state at an iteration boundary
     (all host numpy; a few hundred KB at production sizes)."""
     tmp = path + ".tmp"
-    np.savez(tmp, it=np.int64(it), **state)
+    np.savez(tmp, it=np.int64(it), fingerprint=np.array(fingerprint), **state)
     os.replace(tmp + ".npz", path)
 
 
-def _load_iter_state(path: str, r: int, p: int):
+def _load_iter_state(path: str, m: int, r: int, p: int, fingerprint: str):
     """Returns (start_iteration, state dict) from a sidecar written by
-    ``_save_iter_state``, or None if absent/shape-mismatched."""
+    ``_save_iter_state``, or None if absent, shape-mismatched (e.g. the
+    history length ``m`` changed — mismatched ring buffers corrupt the
+    two-loop recursion), or written for different unit inputs."""
     if not os.path.exists(path):
         return None
     try:
+        shapes = _state_shapes(m, r, p)
         with np.load(path, allow_pickle=False) as z:
-            if z["x"].shape != (r, p):
+            # Legacy sidecars (pre-fingerprint) are accepted on a full shape
+            # match so in-flight resumable stages survive the upgrade; any
+            # *present* fingerprint must match exactly.
+            if "fingerprint" in z and str(z["fingerprint"]) != fingerprint:
+                return None
+            if any(z[k].shape != shapes[k] for k in _STATE_KEYS):
                 return None
             return int(z["it"]), {k: z[k].copy() for k in _STATE_KEYS}
     except Exception:
@@ -182,6 +213,7 @@ def lbfgs_box_host(
     compact: bool = True,
     progress: Callable[[int, np.ndarray], None] | None = None,
     state_path: str | None = None,
+    state_token: str = "",
 ) -> HostLBFGSResult:
     """Minimizes a batched objective over the box [lower, upper]^P.
 
@@ -209,12 +241,21 @@ def lbfgs_box_host(
         state_path: if set, the full optimizer state is persisted to this
             file at every iteration boundary and restored on entry, so a
             killed run (remote-TPU session death, babysitter timeout) resumes
-            mid-stage instead of restarting the stage. Deleted on completion.
+            mid-stage instead of restarting the stage.  The sidecar is keyed
+            by a fingerprint of (x0, state_token) and the full state shapes,
+            so a stale file from a reset store / changed config / changed
+            history length is discarded, never silently restored.  Deleted
+            only when every lane is done (converged/stalled/failed) — a
+            max_iter-bounded exit keeps it, so rerunning the unit with a
+            higher limit continues instead of restarting.
+        state_token: extra caller context mixed into the sidecar fingerprint
+            (e.g. the tempering gamma of this stage).
     """
     x = np.clip(np.asarray(x0, np.float64), lower, upper)
     r, p = x.shape
     m = history
     eps_f = np.finfo(np.float32).eps if f32 else np.finfo(np.float64).eps
+    fingerprint = _unit_fingerprint(x, state_token) if state_path else ""
 
     def vg_rows(rows):
         """value_and_grad on explicit rows, padded to a bucket width."""
@@ -229,7 +270,7 @@ def lbfgs_box_host(
         return np.max(np.abs(x_ - np.clip(x_ - g_, lower, upper)), axis=-1)
 
     it0 = 0
-    loaded = _load_iter_state(state_path, r, p) if state_path else None
+    loaded = _load_iter_state(state_path, m, r, p, fingerprint) if state_path else None
     if loaded is not None:
         it0, st = loaded
         x, f, g = st["x"], st["f"], st["g"]
@@ -480,11 +521,19 @@ def lbfgs_box_host(
                     y_hist=y_hist, rho=rho, head=head, count=count,
                     stall=stall, done=done,
                 ),
+                fingerprint,
             )
+            # Yield the chip to the benchmark between iterations (all state
+            # just persisted; the babysitter relaunches after the lock
+            # clears, losing nothing).
+            runlock.check_quiesce(f"lbfgs iter {it + 1}")
         if progress is not None:
             progress(it, done)
 
-    if state_path and os.path.exists(state_path):
+    # Keep the sidecar after a max_iter-bounded exit with live lanes: a
+    # rerun with a raised limit then continues mid-stage instead of
+    # restarting (hours of TPU work on the flagship stages).
+    if state_path and os.path.exists(state_path) and bool(done.all()):
         os.remove(state_path)
     return HostLBFGSResult(
         x=x,
@@ -619,6 +668,7 @@ def make_stage_optimizer_host(
             f32=f32,
             progress=heartbeat,
             state_path=state_path,
+            state_token=f"gamma={float(gamma):.17g}",
         )
 
     return stage

@@ -375,12 +375,17 @@ def _bwd_sub_tiles(lmat, b):
 
 def supports(model, solver, ekf, obs, fast_path: bool = True) -> bool:
     """Whether the fused kernel covers this configuration."""
+    from ode_uncertainty_tpu.filters.sqrt_ekf import SqrtEKF
     from ode_uncertainty_tpu.solvers.erk import ERK
     from ode_uncertainty_tpu.solvers.sdirk import Kvaerno3
 
     return (
         isinstance(solver, (ERK, Kvaerno3))
         and model.name in TILE_RHS
+        # exact type: a GMMSqrtEKF (or any other subclass/wrapper) computes
+        # a different likelihood — silently evaluating the single-component
+        # SqrtEKF NLL for it would be wrong, not just unsupported
+        and type(ekf) is SqrtEKF
         and getattr(ekf, "disable_cov_update", False)
         and _detect_uniform(obs) is not None
     )
@@ -771,7 +776,11 @@ def make_nll_pallas(
             packed_d, dpar, dgam = carry
             dx, dp_mat = _unpack(packed_d)
             j = n_obs - 1 - i  # observation index, n_obs-1 .. 1
-            t_start = t0 + (first + 1) * h + (j - 1) * d * h
+            # identical expression to the forward/recompute phases: in f32,
+            # t0 + (first+1)*h + (j-1)*d*h rounds differently from
+            # t0 + (first+1+(j-1)*d)*h, and the VJP must linearize at the
+            # exact time base the snapshotted trajectory was computed with
+            t_start = t0 + (first + 1 + (j - 1) * d) * h
             y_vals = _load_y(ys_ref, j)
             x_in, p_in = _unpack(snap_load(j))
 

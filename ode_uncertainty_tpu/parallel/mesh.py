@@ -63,6 +63,17 @@ def make_sharded_tempered_estimator(
     gammas and all closed-over data are replicated. The per-restart L-BFGS
     while-loops are fully local to a device — no collectives inside the
     optimization; wall-clock scales ~1/n_devices for R >> n_devices.
+
+    .. warning:: **Correctness demo, not the production scale-out path.**
+        XLA turns the vmapped while-loop's termination test into a global
+        reduction across the sharded batch, so every device steps until the
+        *slowest* lane anywhere finishes — measured 5.7x partition overhead
+        at 8 devices (docs/DESIGN.md §9b) — and the remote-TPU runtime used
+        here kernel-faults on this program shape at any useful width. The
+        production multi-chip path is the mesh-sharded host strong-Wolfe
+        optimizer (``inference.lbfgs_host.make_stage_optimizer_host`` with
+        ``mesh=...``): loop-free device programs, measured partition
+        overhead ~1.0, stall-stop and bucket compaction included.
     """
     from ode_uncertainty_tpu.inference.estimate import EstimationResult
     from ode_uncertainty_tpu.inference.lbfgs import lbfgs_box

@@ -29,6 +29,15 @@ def setup_precision(cfg) -> "object":
     if platform:
         os.environ["JAX_PLATFORMS"] = platform
         jax.config.update("jax_platforms", platform)
+    else:
+        # This script is about to claim the single TPU chip: register as the
+        # active client (bench.py quiesces via this pid) and never start
+        # while the benchmark holds the chip — exit 75 so babysitters wait
+        # for the lock and relaunch instead of counting a failure.
+        from ode_uncertainty_tpu.utils import runlock
+
+        runlock.check_quiesce("client startup")
+        runlock.register_client()
 
     cache_dir = os.environ.get("ODEUQ_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
     try:

@@ -1,0 +1,172 @@
+#!/bin/bash
+# Round-4 TPU work queue: drains the experiment surface (VERDICT r3 "Next
+# round" #2-#6) strictly sequentially — the remote runtime takes one client
+# at a time (DESIGN §10) — and honors the benchmark's exclusive lock
+# (utils/runlock.py): no step starts while bench.py holds the chip, and a
+# step that yielded (rc 75) is retried after the lock clears.
+#
+# Order: flagship close-out first (tRMSE + report), then the hardware probe
+# that sets the round's Pallas/bench defaults, then the stale-artifact LV2
+# re-run, quick trajectory/calibration/landscape artifacts, a fresh bench
+# record, and finally the long estimation ladder + zero-artifact families.
+# Usage: nohup bash tpu_queue_r4.sh > /tmp/tpu_queue_r4.log 2>&1 &
+set -u
+cd "$(dirname "$0")"
+BENCH_LOCK=${ODEUQ_BENCH_LOCK:-/tmp/odeuq_bench.lock}
+
+say() { echo "=== $(date +%T) $*"; }
+
+bench_active() {
+  [ -f "$BENCH_LOCK" ] && kill -0 "$(cat "$BENCH_LOCK" 2>/dev/null)" 2>/dev/null
+}
+
+wait_bench() {
+  while bench_active; do
+    say "bench lock active; holding off"
+    sleep 30
+  done
+}
+
+# run_step <timeout_s> <cmd...>: lock-aware direct step; one retry after a
+# bench yield (rc 75), tail-filtered output.
+run_step() {
+  local t="$1"; shift
+  for try in 1 2; do
+    wait_bench
+    timeout "$t" "$@" 2>&1 | tail -4
+    local rc=${PIPESTATUS[0]}
+    [ "$rc" = "75" ] || return "$rc"
+    say "step yielded to bench; retrying"
+  done
+}
+
+trmse() {
+  run_step 1800 env ODEUQ_PLATFORM=cpu python compute_trmse.py \
+    --experiment "$1" --set float64=true \
+    --set parameter_estimates_input="../results/$1.h5"
+}
+
+report() {
+  run_step 600 env ODEUQ_PLATFORM=cpu python report_estimation.py \
+    --experiment "$1" --set parameter_estimates_input="../results/$1.h5"
+}
+
+# 0. wait for the flagship babysitter's terminal marker.
+if [ -f /tmp/hhfull_babysit.pid ]; then
+  say "waiting for flagship babysitter"
+  while ! grep -qE "=== (SUCCESS|GAVE UP)" /tmp/hhfull_r4.log 2>/dev/null; do
+    if ! kill -0 "$(cat /tmp/hhfull_babysit.pid)" 2>/dev/null; then
+      say "babysitter gone without terminal marker; proceeding"
+      break
+    fi
+    sleep 60
+  done
+fi
+say "flagship done; cooling down 120s (runtime recovery window)"
+sleep 120
+
+# 1. flagship close-out: tRMSE + recovery table (CPU f64; light)
+say "compute_trmse hodgkinhuxley11_full"
+trmse params/hodgkinhuxley11_full
+report params/hodgkinhuxley11_full
+
+# 2. hardware probe (bench-batch crash boundary, Pallas-vs-XLA cross-checks;
+# sets ODEUQ_HH_IMPL / bench batch defaults for the round)
+say "tpu_probe_r3"
+run_step 14400 python tpu_probe_r3.py
+sleep 60
+
+# 3. LV2 re-run on the shipped strong-Wolfe optimizer (the committed
+# artifact predates it; VERDICT r3 weak #4). Keep the old H5 for comparison.
+say "params/lotkavolterra2 re-run (strong-Wolfe)"
+if [ -f ../results/params/lotkavolterra2.h5 ]; then
+  mv -n ../results/params/lotkavolterra2.h5 ../results/params/lotkavolterra2_r2armijo.h5
+  rm -f ../results/params/lotkavolterra2.h5.ckpt.npz ../results/params/lotkavolterra2.h5.lbfgs-*.npz
+fi
+wait_bench
+STALL_S=1800 ATTEMPT_S=7200 bash babysit_estimation.sh \
+  params/lotkavolterra2 /tmp/lv2_r4.log
+trmse params/lotkavolterra2
+report params/lotkavolterra2
+sleep 120
+
+# 4. trajectory families (EKF/PF on chaotic Lorenz)
+for exp in ekf_trajectory/rkf45/lorenz pf_trajectory/rkf45/lorenz; do
+  say "run_filter $exp"
+  run_step 1800 python run_filter.py --experiment "$exp"
+  sleep 60
+done
+
+# 5. calibration sweep (the thesis's Conrad-comparison centerpiece)
+say "run_calibration calibration/rkf45/vanderpol"
+run_step 3600 python run_calibration.py --experiment calibration/rkf45/vanderpol
+sleep 60
+
+# 6. NLL landscape grid (evaluate subcommand's first real artifact)
+say "evaluate landscape params/lotkavolterra2"
+run_step 5400 python run_parameter_estimation.py evaluate \
+  --experiment params/lotkavolterra2
+sleep 60
+
+# 7. fresh headline bench record (also warms the compile cache + updates
+# .bench_cache.json last_good for the driver's run)
+say "bench.py"
+wait_bench
+timeout 3300 python ../bench.py 2>&1 | tail -3
+sleep 60
+
+# 8. parameter ladder (long; babysat with mid-stage checkpoints)
+say "ladder: hodgkinhuxley6_r1"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+  params/hodgkinhuxley6_r1 /tmp/hh6r1.log
+trmse params/hodgkinhuxley6_r1
+report params/hodgkinhuxley6_r1
+sleep 120
+
+# 9. zero-artifact estimation families (all LV2-scale, short)
+say "params_plus/lotkavolterra2"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+  params_plus/lotkavolterra2 /tmp/lv2_plus.log
+trmse params_plus/lotkavolterra2
+sleep 120
+
+say "params_baseline/lotkavolterra2"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 SCRIPT=run_parameter_estimation_baseline.py \
+  bash babysit_estimation.sh \
+  params_baseline/lotkavolterra2 /tmp/lv2_baseline.log
+trmse params_baseline/lotkavolterra2
+sleep 120
+
+say "params/pendulum (cov-update-enabled estimation)"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+  params/pendulum /tmp/pendulum.log
+trmse params/pendulum
+sleep 120
+
+say "params_temp_low_fine/lotkavolterra2 (tempering ablation)"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+  params_temp_low_fine/lotkavolterra2 /tmp/lv2_temp.log
+sleep 120
+
+# 10. remaining ladder points (9-param bridge; multi-compartment)
+say "ladder: hodgkinhuxley9_r1"
+wait_bench
+STALL_S=2700 ATTEMPT_S=14400 bash babysit_estimation.sh \
+  params/hodgkinhuxley9_r1 /tmp/hh9r1.log
+trmse params/hodgkinhuxley9_r1
+report params/hodgkinhuxley9_r1
+sleep 120
+
+say "ladder: hodgkinhuxley2_c2_r4 (multi-compartment)"
+wait_bench
+STALL_S=2700 ATTEMPT_S=10800 bash babysit_estimation.sh \
+  params/hodgkinhuxley2_c2_r4 /tmp/hh2c2r4.log
+trmse params/hodgkinhuxley2_c2_r4
+sleep 120
+
+say "queue r4 complete"

@@ -147,7 +147,15 @@ def test_mid_stage_state_resume(tmp_path):
         vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=3, state_path=sp
     )
     import os
-    assert not os.path.exists(sp)  # normal return cleans up
+    # A max_iter-bounded exit with live lanes KEEPS the sidecar, so a rerun
+    # with a raised limit continues mid-stage instead of restarting.
+    assert os.path.exists(sp)
+    cont = lbfgs_box_host(
+        vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400, state_path=sp
+    )
+    assert cont.converged.all()
+    assert (cont.iters >= partial.iters).all()
+    assert not os.path.exists(sp)  # all-lanes-done return cleans up
 
     # Re-create a mid-run state: run 3 iters again, keep the file this time
     # by interrupting via an exception from the progress callback.
@@ -174,6 +182,58 @@ def test_mid_stage_state_resume(tmp_path):
     # resumed run did NOT redo the first 3 iterations' dispatches
     assert (resumed.n_fev <= straight.n_fev).all()
     assert not os.path.exists(sp)
+
+
+def test_stale_sidecar_discarded(tmp_path):
+    # A sidecar written for DIFFERENT unit inputs (stale file after a store
+    # reset / changed config) must not be restored: the fresh inits win.
+    # Likewise a changed history length (ring-buffer shape) or state token.
+    def obj(p):
+        return (p[0] - 0.7) ** 2 + 10.0 * (p[1] - p[0] ** 2) ** 2
+
+    vg_b = _wrap(obj)
+    rng = np.random.default_rng(7)
+    x0_a = rng.uniform(0, 1, (6, 2))
+    x0_b = rng.uniform(0, 1, (6, 2))  # same shape, different values
+    sp = str(tmp_path / "state.npz")
+
+    class Stop(Exception):
+        pass
+
+    def killer(it, done):
+        if it >= 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        lbfgs_box_host(
+            vg_b, x0_a.copy(), f32=False, tol=1e-8, max_iter=400,
+            state_path=sp, progress=killer,
+        )
+    import os
+    assert os.path.exists(sp)
+
+    # Different x0 -> fingerprint mismatch -> fresh start (iterates from 0,
+    # and its own first-iteration checkpoint overwrites the stale file).
+    from ode_uncertainty_tpu.inference.lbfgs_host import _load_iter_state, _unit_fingerprint
+
+    fp_b = _unit_fingerprint(np.clip(x0_b, 0, 1), "")
+    assert _load_iter_state(sp, 10, 6, 2, fp_b) is None
+    # Different state token (e.g. another tempering gamma) also mismatches.
+    fp_a_tok = _unit_fingerprint(np.clip(x0_a, 0, 1), "gamma=0.5")
+    assert _load_iter_state(sp, 10, 6, 2, fp_a_tok) is None
+    # Different history length m -> ring shapes mismatch -> discarded.
+    fp_a = _unit_fingerprint(np.clip(x0_a, 0, 1), "")
+    assert _load_iter_state(sp, 7, 6, 2, fp_a) is None
+    # Exact match restores.
+    loaded = _load_iter_state(sp, 10, 6, 2, fp_a)
+    assert loaded is not None and loaded[0] == 3
+
+    # Legacy sidecar (no fingerprint field) is grandfathered on shape match
+    # so in-flight pre-upgrade stages resume.
+    with np.load(sp, allow_pickle=False) as z:
+        legacy = {k: z[k] for k in z.files if k != "fingerprint"}
+    np.savez(str(tmp_path / "legacy"), **legacy)
+    assert _load_iter_state(str(tmp_path / "legacy.npz"), 10, 6, 2, fp_a) is not None
 
 
 def test_stage_optimizer_batched_nll_path():

@@ -138,6 +138,18 @@ def _jvp_grad(nll_t, p0, gam):
     return jnp.stack(cols, axis=1)
 
 
+def test_supports_rejects_filter_subclasses():
+    # supports() must be exact-type on SqrtEKF: a GMMSqrtEKF computes a
+    # mixture NLL, and silently evaluating the single-component kernel for
+    # it (e.g. via --set nll_impl=pallas) would be WRONG, not just slow.
+    from ode_uncertainty_tpu.filters import GMMSqrtEKF
+
+    (m, sol, ekf, spec, obs, state0, nll, num_steps), _ = _tiles_shared()
+    assert supports(m, sol, ekf, obs)
+    gmm = GMMSqrtEKF(disable_cov_update=True)
+    assert not supports(m, sol, gmm, obs)
+
+
 @pytest.mark.parametrize("gamma", [0.1, 0.0])
 def test_tiles_nll_matches_xla_fast_path(gamma):
     dtype = jnp.float32
