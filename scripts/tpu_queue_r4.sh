@@ -115,6 +115,25 @@ wait_bench
 timeout 3300 python ../bench.py 2>&1 | tail -3
 sleep 60
 
+# 7b. implicit-path 1k-restart north star (BASELINE.md "1k vmapped tempered
+# restarts"; VERDICT r3 #5): HH 2-param reduced-4 at num_random_runs=1024
+# through the bucket-compacted host L-BFGS, restart chunks of 256 (the
+# remote runtime's known-safe width for implicit-scan programs), separate
+# artifact so the committed 100-restart run stays comparable.
+say "north star: params/hodgkinhuxley2_r4 @ 1024 restarts"
+wait_bench
+STALL_S=2700 ATTEMPT_S=14400 bash babysit_estimation.sh \
+  params/hodgkinhuxley2_r4 /tmp/hh2r4_1k.log \
+  --set num_random_runs=1024 --set restart_chunk=256 \
+  --set output=../results/params/hodgkinhuxley2_r4_1k.h5
+run_step 1800 env ODEUQ_PLATFORM=cpu python compute_trmse.py \
+  --experiment params/hodgkinhuxley2_r4 --set float64=true \
+  --set parameter_estimates_input=../results/params/hodgkinhuxley2_r4_1k.h5
+run_step 600 env ODEUQ_PLATFORM=cpu python report_estimation.py \
+  --experiment params/hodgkinhuxley2_r4 \
+  --set parameter_estimates_input=../results/params/hodgkinhuxley2_r4_1k.h5
+sleep 120
+
 # 8. parameter ladder (long; babysat with mid-stage checkpoints)
 say "ladder: hodgkinhuxley6_r1"
 wait_bench
