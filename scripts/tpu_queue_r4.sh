@@ -76,6 +76,12 @@ say "tpu_probe_r3"
 run_step 14400 python tpu_probe_r3.py
 sleep 60
 
+# 2b. on-hardware kernel-parity pytest (always-on TPU leg; compiles are
+# warm from the probe via the persistent cache, so this is minutes).
+say "tpu kernel-parity pytest"
+run_step 3000 env ODEUQ_TPU_TESTS=1 python -m pytest ../tests/test_tpu_hardware.py -q
+sleep 60
+
 # 3. LV2 re-run on the shipped strong-Wolfe optimizer (the committed
 # artifact predates it; VERDICT r3 weak #4). Keep the old H5 for comparison.
 say "params/lotkavolterra2 re-run (strong-Wolfe)"
