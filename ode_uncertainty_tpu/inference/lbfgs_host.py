@@ -169,6 +169,9 @@ def _unit_fingerprint(x0: np.ndarray, token: str) -> str:
 def _save_iter_state(path: str, it: int, state: dict, fingerprint: str) -> None:
     """Atomically persists the full optimizer state at an iteration boundary
     (all host numpy; a few hundred KB at production sizes)."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     np.savez(tmp, it=np.int64(it), fingerprint=np.array(fingerprint), **state)
     os.replace(tmp + ".npz", path)
