@@ -36,6 +36,17 @@ where one batched NLL+grad dispatch costs tens of seconds:
     drops to half a power-of-2 bucket, the batch is compacted (gathered)
     into the smaller bucket; each bucket shape compiles once and is cached
     across stages and restart chunks.
+  * **ladder line search** (``ls_trials > 1``): the NLL is a sequential
+    scan whose wall time is nearly batch-independent on TPU, so candidate
+    step sizes are almost free in the *batch* dimension. Instead of
+    bracketing/zooming one trial per dispatch (measured on the HH-full
+    flagship: cold tempering stages burned ~20 dispatches x ~10 s per
+    L-BFGS iteration, 209 s/iter), a geometric ladder of K candidate
+    alphas per lane is evaluated in ONE batched dispatch (chunked at a
+    width cap), and the best strong-Wolfe candidate — falling back to the
+    best Armijo candidate — is accepted. Warm lanes still pay exactly one
+    single-trial dispatch (round 0 trials only the unit step); cold lanes
+    resolve in <= 4 dispatch rounds instead of 20.
 
 The dispatch overhead (~10-100 ms against the remote TPU) is amortized by
 the batched objective evaluation; the win is that every dispatched program
@@ -139,6 +150,160 @@ def _cubic_min(a_lo, f_lo, dg_lo, a_hi, f_hi, dg_hi):
     return a_new
 
 
+def _sequential_wolfe(
+    act, x, f, g, d, dg0, f_slack, n_fev,
+    lower, upper, max_ls_rounds, wolfe_patience,
+    armijo_c1, wolfe_c2, vg_rows,
+    f_best, x_best, g_best, has_best,
+    accepted, searching, x_acc, f_acc, g_acc,
+):
+    """Sequential batched strong-Wolfe search (bracket + cubic zoom,
+    Nocedal-Wright Alg. 3.5/3.6): ONE trial alpha per lane per dispatch.
+    Mutates ``n_fev`` and the best/accept carry arrays in place; returns
+    ``(accepted, x_acc, f_acc, g_acc)`` over act-space. This is the
+    ``ls_trials == 1`` path of :func:`lbfgs_box_host`; the ladder search
+    there replaces it with batched multi-trial dispatches."""
+    na = len(act)
+    a_cur = np.ones(na)
+    a_prev = np.zeros(na)
+    f_prev = f[act].copy()
+    dg_prev = dg0.copy()
+    in_zoom = np.zeros(na, bool)
+    a_lo = np.zeros(na)
+    f_lo = f[act].copy()
+    dg_lo = dg0.copy()
+    a_hi = np.zeros(na)
+    f_hi = np.zeros(na)
+    dg_hi = np.zeros(na)
+
+    for rd in range(max_ls_rounds):
+        # Patience cut: near convergence the f32 slope noise can make
+        # the curvature condition unsatisfiable — a lane that already
+        # holds an Armijo-satisfying trial settles for it after a few
+        # zoom rounds instead of burning max_ls_rounds dispatches
+        # (observed: 20-round zooms at ~5 s/dispatch dominated HH
+        # stage wall-clock; the curvature-guarded history update
+        # already rejects low-quality pairs).
+        if rd >= wolfe_patience:
+            searching[has_best] = False
+        s = np.nonzero(searching)[0]
+        if not len(s):
+            break
+        lanes = act[s]
+        x_t = np.clip(x[lanes] + a_cur[s, None] * d[lanes], lower, upper)
+        f_t, g_t = vg_rows(x_t)
+        n_fev[lanes] += 1
+        step = x_t - x[lanes]
+        moved = np.max(np.abs(step), axis=-1) > 0.0
+        # chord slopes along the *projected* path
+        dg_t = np.einsum("rp,rp->r", g_t, step) / np.maximum(a_cur[s], 1e-300)
+        gproj0 = np.einsum("rp,rp->r", g[lanes], step)
+        finite = np.isfinite(f_t) & np.isfinite(g_t).all(axis=-1)
+        armijo = (f_t <= f[lanes] + armijo_c1 * gproj0 + f_slack[lanes]) & moved & finite
+        curv = np.abs(dg_t) <= wolfe_c2 * np.abs(dg0[s])
+        acc_now = armijo & curv
+
+        better = armijo & (f_t < f_best[s])
+        bs = s[better]
+        f_best[bs] = f_t[better]
+        x_best[bs] = x_t[better]
+        g_best[bs] = g_t[better]
+        has_best[bs] = True
+
+        ia = s[acc_now]
+        accepted[ia] = True
+        searching[ia] = False
+        x_acc[ia] = x_t[acc_now]
+        f_acc[ia] = f_t[acc_now]
+        g_acc[ia] = g_t[acc_now]
+
+        # --- update still-searching lanes -----------------------------
+        rem_mask = ~acc_now
+        rem = s[rem_mask]  # indices into act-space
+        if not len(rem):
+            continue
+        rt = rem_mask  # mask over s-rows
+        in_zoom_s = in_zoom[s].copy()  # zoom status BEFORE this round's updates
+        was_zoom = in_zoom[rem].copy()
+
+        # Bracketing phase (Alg 3.5): decide zoom entry or expand.
+        br = rem[~was_zoom]
+        brt = np.nonzero(rt & ~in_zoom_s)[0]  # rows of s for bracket lanes
+        if len(br):
+            f_tb = f_t[brt]
+            dg_tb = dg_t[brt]
+            a_b = a_cur[br]
+            hi_entry = ~armijo[brt] | ((rd > 0) & (f_tb >= f_prev[br])) | ~finite[brt]
+            pos_slope = ~hi_entry & (dg_tb >= 0.0)
+            expand = ~hi_entry & ~pos_slope
+            # zoom with (lo=prev, hi=cur)
+            z1 = br[hi_entry]
+            in_zoom[z1] = True
+            a_lo[z1] = a_prev[z1]
+            f_lo[z1] = f_prev[z1]
+            dg_lo[z1] = dg_prev[z1]
+            a_hi[z1] = a_b[hi_entry]
+            f_hi[z1] = np.where(np.isfinite(f_tb[hi_entry]), f_tb[hi_entry], f_prev[z1])
+            dg_hi[z1] = np.where(np.isfinite(dg_tb[hi_entry]), dg_tb[hi_entry], 0.0)
+            # zoom with (lo=cur, hi=prev)
+            z2 = br[pos_slope]
+            in_zoom[z2] = True
+            a_lo[z2] = a_b[pos_slope]
+            f_lo[z2] = f_tb[pos_slope]
+            dg_lo[z2] = dg_tb[pos_slope]
+            a_hi[z2] = a_prev[z2]
+            f_hi[z2] = f_prev[z2]
+            dg_hi[z2] = dg_prev[z2]
+            # expand
+            e = br[expand]
+            a_prev[e] = a_b[expand]
+            f_prev[e] = f_tb[expand]
+            dg_prev[e] = dg_tb[expand]
+            a_cur[e] = np.minimum(a_b[expand] * 2.0, 64.0)
+
+        # Zoom phase (Alg 3.6): shrink the bracket.
+        zo = rem[was_zoom]
+        zot = np.nonzero(rt & in_zoom_s)[0]
+        if len(zo):
+            f_tz = f_t[zot]
+            dg_tz = dg_t[zot]
+            a_z = a_cur[zo]
+            to_hi = ~armijo[zot] | (f_tz >= f_lo[zo]) | ~finite[zot]
+            # armijo holds, curvature failed: move lo (maybe flip hi)
+            flip = ~to_hi & (dg_tz * (a_hi[zo] - a_lo[zo]) >= 0.0)
+            fl = zo[flip]
+            a_hi[fl] = a_lo[fl]
+            f_hi[fl] = f_lo[fl]
+            dg_hi[fl] = dg_lo[fl]
+            lo_m = ~to_hi
+            lz = zo[lo_m]
+            a_lo[lz] = a_z[lo_m]
+            f_lo[lz] = f_tz[lo_m]
+            dg_lo[lz] = dg_tz[lo_m]
+            hz = zo[to_hi]
+            a_hi[hz] = a_z[to_hi]
+            f_hi[hz] = np.where(np.isfinite(f_tz[to_hi]), f_tz[to_hi], f_hi[hz])
+            dg_hi[hz] = np.where(np.isfinite(dg_tz[to_hi]), dg_tz[to_hi], 0.0)
+
+        # next trial step for all zoom lanes (old and newly entered)
+        zl = rem[in_zoom[rem]]
+        if len(zl):
+            a_cur[zl] = _cubic_min(
+                a_lo[zl], f_lo[zl], dg_lo[zl], a_hi[zl], f_hi[zl], dg_hi[zl]
+            )
+            # degenerate bracket -> stop searching (fallback decides)
+            tiny = np.abs(a_hi[zl] - a_lo[zl]) < 1e-12
+            searching[zl[tiny]] = False
+
+    # fallback: best Armijo trial for unaccepted lanes that found one
+    fb = np.nonzero(~accepted & has_best)[0]
+    accepted[fb] = True
+    x_acc[fb] = x_best[fb]
+    f_acc[fb] = f_best[fb]
+    g_acc[fb] = g_best[fb]
+    return accepted, x_acc, f_acc, g_acc
+
+
 _STATE_KEYS = (
     "x", "f", "g", "iters", "n_fev", "s_hist", "y_hist", "rho",
     "head", "count", "stall", "done",
@@ -214,6 +379,8 @@ def lbfgs_box_host(
     f32: bool = True,
     stall_iters: int = 5,
     compact: bool = True,
+    ls_trials: int = 1,
+    ls_width_cap: int = 256,
     progress: Callable[[int, np.ndarray], None] | None = None,
     state_path: str | None = None,
     state_token: str = "",
@@ -240,6 +407,16 @@ def lbfgs_box_host(
             with below-slack objective progress (0 disables).
         compact: gather active lanes into power-of-2 dispatch buckets as
             lanes converge (see module docstring).
+        ls_trials: candidate step sizes evaluated per lane per line-search
+            dispatch. 1 selects the sequential bracket/zoom search; K > 1
+            selects the ladder search (see module docstring), which bounds
+            the line search at 4 dispatch rounds instead of
+            ``max_ls_rounds``.
+        ls_width_cap: max dispatch width for ladder trial blocks; trial
+            matrices wider than ``max(ls_width_cap, R)`` are chunked into
+            sequential dispatches of exactly that width (256 default: the
+            bench-validated batch for the heaviest implicit NLL+grad
+            program on the remote TPU).
         progress: optional callback ``(iteration, done_mask)``.
         state_path: if set, the full optimizer state is persisted to this
             file at every iteration boundary and restored on entry, so a
@@ -268,6 +445,30 @@ def lbfgs_box_host(
             rows = np.concatenate([rows, np.repeat(rows[:1], b - nr, axis=0)])
         fb, gb = value_and_grad_batched(rows)
         return np.asarray(fb, np.float64)[:nr], np.asarray(gb, np.float64)[:nr]
+
+    def vg_rows_wide(rows):
+        """value_and_grad on a trial matrix that can be wider than the lane
+        batch (ladder search): chunks of at most ``max(ls_width_cap, R)``
+        rows; chunks wider than the full batch pad to exactly the cap, so
+        at most ONE shape beyond the compaction buckets ever compiles."""
+        cap = max(ls_width_cap, r)
+        fs, gs = [], []
+        for i in range(0, len(rows), cap):
+            chunk = rows[i : i + cap]
+            nr = len(chunk)
+            if nr > r:
+                if nr < cap:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[:1], cap - nr, axis=0)]
+                    )
+                fb, gb = value_and_grad_batched(chunk)
+                fs.append(np.asarray(fb, np.float64)[:nr])
+                gs.append(np.asarray(gb, np.float64)[:nr])
+            else:
+                fb, gb = vg_rows(chunk)
+                fs.append(fb)
+                gs.append(gb)
+        return np.concatenate(fs), np.concatenate(gs)
 
     def pg_norm(x_, g_):
         return np.max(np.abs(x_ - np.clip(x_ - g_, lower, upper)), axis=-1)
@@ -322,20 +523,8 @@ def lbfgs_box_host(
         d = np.where(cold[:, None], d / np.maximum(gnorm, 1e-300)[:, None], d)
         f_slack = 16.0 * eps_f * np.maximum(np.abs(f), 1.0)
 
-        # --- strong-Wolfe line search (one vg dispatch per round) ---------
         na = len(act)
         dg0 = np.einsum("rp,rp->r", g[act], d[act])  # phi'(0), unprojected
-        a_cur = np.ones(na)
-        a_prev = np.zeros(na)
-        f_prev = f[act].copy()
-        dg_prev = dg0.copy()
-        in_zoom = np.zeros(na, bool)
-        a_lo = np.zeros(na)
-        f_lo = f[act].copy()
-        dg_lo = dg0.copy()
-        a_hi = np.zeros(na)
-        f_hi = np.zeros(na)
-        dg_hi = np.zeros(na)
         # best Armijo-satisfying trial so far (fallback on round exhaustion)
         f_best = np.full(na, np.inf)
         x_best = x[act].copy()
@@ -347,131 +536,98 @@ def lbfgs_box_host(
         f_acc = f[act].copy()
         g_acc = g[act].copy()
 
-        for rd in range(max_ls_rounds):
-            # Patience cut: near convergence the f32 slope noise can make
-            # the curvature condition unsatisfiable — a lane that already
-            # holds an Armijo-satisfying trial settles for it after a few
-            # zoom rounds instead of burning max_ls_rounds dispatches
-            # (observed: 20-round zooms at ~5 s/dispatch dominated HH
-            # stage wall-clock; the curvature-guarded history update
-            # already rejects low-quality pairs).
-            if rd >= wolfe_patience:
-                searching[has_best] = False
-            s = np.nonzero(searching)[0]
-            if not len(s):
-                break
-            lanes = act[s]
-            x_t = np.clip(x[lanes] + a_cur[s, None] * d[lanes], lower, upper)
-            f_t, g_t = vg_rows(x_t)
-            n_fev[lanes] += 1
-            step = x_t - x[lanes]
-            moved = np.max(np.abs(step), axis=-1) > 0.0
-            # chord slopes along the *projected* path
-            dg_t = np.einsum("rp,rp->r", g_t, step) / np.maximum(a_cur[s], 1e-300)
-            gproj0 = np.einsum("rp,rp->r", g[lanes], step)
-            finite = np.isfinite(f_t) & np.isfinite(g_t).all(axis=-1)
-            armijo = (f_t <= f[lanes] + armijo_c1 * gproj0 + f_slack[lanes]) & moved & finite
-            curv = np.abs(dg_t) <= wolfe_c2 * np.abs(dg0[s])
-            acc_now = armijo & curv
-
-            better = armijo & (f_t < f_best[s])
-            bs = s[better]
-            f_best[bs] = f_t[better]
-            x_best[bs] = x_t[better]
-            g_best[bs] = g_t[better]
-            has_best[bs] = True
-
-            ia = s[acc_now]
-            accepted[ia] = True
-            searching[ia] = False
-            x_acc[ia] = x_t[acc_now]
-            f_acc[ia] = f_t[acc_now]
-            g_acc[ia] = g_t[acc_now]
-
-            # --- update still-searching lanes -----------------------------
-            rem_mask = ~acc_now
-            rem = s[rem_mask]  # indices into act-space
-            if not len(rem):
-                continue
-            rt = rem_mask  # mask over s-rows
-            in_zoom_s = in_zoom[s].copy()  # zoom status BEFORE this round's updates
-            was_zoom = in_zoom[rem].copy()
-
-            # Bracketing phase (Alg 3.5): decide zoom entry or expand.
-            br = rem[~was_zoom]
-            brt = np.nonzero(rt & ~in_zoom_s)[0]  # rows of s for bracket lanes
-            if len(br):
-                f_tb = f_t[brt]
-                dg_tb = dg_t[brt]
-                a_b = a_cur[br]
-                hi_entry = ~armijo[brt] | ((rd > 0) & (f_tb >= f_prev[br])) | ~finite[brt]
-                pos_slope = ~hi_entry & (dg_tb >= 0.0)
-                expand = ~hi_entry & ~pos_slope
-                # zoom with (lo=prev, hi=cur)
-                z1 = br[hi_entry]
-                in_zoom[z1] = True
-                a_lo[z1] = a_prev[z1]
-                f_lo[z1] = f_prev[z1]
-                dg_lo[z1] = dg_prev[z1]
-                a_hi[z1] = a_b[hi_entry]
-                f_hi[z1] = np.where(np.isfinite(f_tb[hi_entry]), f_tb[hi_entry], f_prev[z1])
-                dg_hi[z1] = np.where(np.isfinite(dg_tb[hi_entry]), dg_tb[hi_entry], 0.0)
-                # zoom with (lo=cur, hi=prev)
-                z2 = br[pos_slope]
-                in_zoom[z2] = True
-                a_lo[z2] = a_b[pos_slope]
-                f_lo[z2] = f_tb[pos_slope]
-                dg_lo[z2] = dg_tb[pos_slope]
-                a_hi[z2] = a_prev[z2]
-                f_hi[z2] = f_prev[z2]
-                dg_hi[z2] = dg_prev[z2]
-                # expand
-                e = br[expand]
-                a_prev[e] = a_b[expand]
-                f_prev[e] = f_tb[expand]
-                dg_prev[e] = dg_tb[expand]
-                a_cur[e] = np.minimum(a_b[expand] * 2.0, 64.0)
-
-            # Zoom phase (Alg 3.6): shrink the bracket.
-            zo = rem[was_zoom]
-            zot = np.nonzero(rt & in_zoom_s)[0]
-            if len(zo):
-                f_tz = f_t[zot]
-                dg_tz = dg_t[zot]
-                a_z = a_cur[zo]
-                to_hi = ~armijo[zot] | (f_tz >= f_lo[zo]) | ~finite[zot]
-                # armijo holds, curvature failed: move lo (maybe flip hi)
-                flip = ~to_hi & (dg_tz * (a_hi[zo] - a_lo[zo]) >= 0.0)
-                fl = zo[flip]
-                a_hi[fl] = a_lo[fl]
-                f_hi[fl] = f_lo[fl]
-                dg_hi[fl] = dg_lo[fl]
-                lo_m = ~to_hi
-                lz = zo[lo_m]
-                a_lo[lz] = a_z[lo_m]
-                f_lo[lz] = f_tz[lo_m]
-                dg_lo[lz] = dg_tz[lo_m]
-                hz = zo[to_hi]
-                a_hi[hz] = a_z[to_hi]
-                f_hi[hz] = np.where(np.isfinite(f_tz[to_hi]), f_tz[to_hi], f_hi[hz])
-                dg_hi[hz] = np.where(np.isfinite(dg_tz[to_hi]), dg_tz[to_hi], 0.0)
-
-            # next trial step for all zoom lanes (old and newly entered)
-            zl = rem[in_zoom[rem]]
-            if len(zl):
-                a_cur[zl] = _cubic_min(
-                    a_lo[zl], f_lo[zl], dg_lo[zl], a_hi[zl], f_hi[zl], dg_hi[zl]
+        if ls_trials > 1:
+            # --- ladder strong-Wolfe search (K trials per dispatch) --------
+            # Round 0 trials only the unit step (the warm-lane fast path:
+            # one dispatch, exactly like the sequential search). Round 1
+            # spans alpha in [1e-3, 4] geometrically; rounds 2-3 continue
+            # the descent by 10^-K/2 per round for lanes that have not
+            # found an Armijo point anywhere yet.
+            K = int(ls_trials)
+            # Down-candidates first (a too-big step is the common rejection),
+            # two expansion candidates, then the deeper descent — so small K
+            # still covers the important region. Duplicate-free and ordered
+            # only for truncation: all K are evaluated simultaneously.
+            base = [10 ** -0.5, 0.1, 4.0, 2.0, 10 ** -1.5, 0.01, 10 ** -2.5, 1e-3]
+            if K > 8:
+                base += [10 ** (-0.5 * i) for i in range(7, K + 3)]
+            r1_grid = np.array(base[:K])
+            dn_grid = 10.0 ** (-0.5 * np.arange(1, K + 1))
+            lo_alpha = np.ones(na)
+            for rd in range(4):
+                s = np.nonzero(searching)[0]
+                if not len(s):
+                    break
+                lanes = act[s]
+                if rd == 0:
+                    alphas = np.ones((len(s), 1))
+                elif rd == 1:
+                    alphas = np.broadcast_to(r1_grid, (len(s), K)).copy()
+                else:
+                    alphas = lo_alpha[s][:, None] * dn_grid[None, :]
+                nk = alphas.shape[1]
+                x_t = np.clip(
+                    x[lanes][:, None, :] + alphas[..., None] * d[lanes][:, None, :],
+                    lower,
+                    upper,
                 )
-                # degenerate bracket -> stop searching (fallback decides)
-                tiny = np.abs(a_hi[zl] - a_lo[zl]) < 1e-12
-                searching[zl[tiny]] = False
-
-        # fallback: best Armijo trial for unaccepted lanes that found one
-        fb = np.nonzero(~accepted & has_best)[0]
-        accepted[fb] = True
-        x_acc[fb] = x_best[fb]
-        f_acc[fb] = f_best[fb]
-        g_acc[fb] = g_best[fb]
+                f_t, g_t = vg_rows_wide(x_t.reshape(-1, p))
+                f_t = f_t.reshape(len(s), nk)
+                g_t = g_t.reshape(len(s), nk, p)
+                n_fev[lanes] += nk
+                step = x_t - x[lanes][:, None, :]
+                moved = np.max(np.abs(step), axis=-1) > 0.0
+                # chord slopes along the *projected* path
+                dg_t = np.einsum("skp,skp->sk", g_t, step) / np.maximum(alphas, 1e-300)
+                gproj0 = np.einsum("sp,skp->sk", g[lanes], step)
+                finite = np.isfinite(f_t) & np.isfinite(g_t).all(axis=-1)
+                armijo = (
+                    f_t <= f[lanes][:, None] + armijo_c1 * gproj0 + f_slack[lanes][:, None]
+                ) & moved & finite
+                curv = np.abs(dg_t) <= wolfe_c2 * np.abs(dg0[s])[:, None]
+                wolfe = armijo & curv
+                rows = np.arange(len(s))
+                # carry the best Armijo candidate across rounds
+                f_arm = np.where(armijo, f_t, np.inf)
+                k_arm = np.argmin(f_arm, axis=1)
+                better = armijo.any(axis=1) & (f_arm[rows, k_arm] < f_best[s])
+                bs = s[better]
+                f_best[bs] = f_arm[rows[better], k_arm[better]]
+                x_best[bs] = x_t[rows[better], k_arm[better]]
+                g_best[bs] = g_t[rows[better], k_arm[better]]
+                has_best[bs] = True
+                # accept the lowest-f strong-Wolfe candidate now
+                f_w = np.where(wolfe, f_t, np.inf)
+                k_w = np.argmin(f_w, axis=1)
+                acc_w = wolfe.any(axis=1)
+                ia = s[acc_w]
+                accepted[ia] = True
+                searching[ia] = False
+                x_acc[ia] = x_t[rows[acc_w], k_w[acc_w]]
+                f_acc[ia] = f_t[rows[acc_w], k_w[acc_w]]
+                g_acc[ia] = g_t[rows[acc_w], k_w[acc_w]]
+                # From round 1 on, a lane holding an Armijo point settles
+                # for it: the round-1 grid spans 3.6 decades — curvature
+                # matching nowhere there means refinement would chase f32
+                # slope noise (the sy-guarded history update rejects
+                # low-quality pairs anyway). Rounds 2-3 serve only lanes
+                # with no Armijo point at all.
+                if rd >= 1:
+                    settle = np.nonzero(searching & has_best)[0]
+                    accepted[settle] = True
+                    searching[settle] = False
+                    x_acc[settle] = x_best[settle]
+                    f_acc[settle] = f_best[settle]
+                    g_acc[settle] = g_best[settle]
+                lo_alpha[s] = np.minimum(lo_alpha[s], alphas.min(axis=1))
+        else:
+            accepted, x_acc, f_acc, g_acc = _sequential_wolfe(
+                act, x, f, g, d, dg0, f_slack, n_fev,
+                lower, upper, max_ls_rounds, wolfe_patience,
+                armijo_c1, wolfe_c2, vg_rows,
+                f_best, x_best, g_best, has_best,
+                accepted, searching, x_acc, f_acc, g_acc,
+            )
 
         ok = np.zeros(r, bool)
         x_new = x.copy()
@@ -662,6 +818,15 @@ def make_stage_optimizer_host(
             if state_prefix is not None and unit_key is not None
             else None
         )
+        # Ladder line search by default on accelerators (ODEUQ_LS_TRIALS
+        # overrides; 1 = sequential bracket/zoom): on TPU every NLL+grad
+        # dispatch is a sequential scan whose wall time is batch-independent,
+        # so K trial steps per dispatch cut cold tempering stages from ~20
+        # dispatches/iteration to <= 4 (measured on the HH-full flagship:
+        # 209 s/iter sequential stage 1). On CPU the extra trial rows cost
+        # linearly (LV2 f64: 3.4x wall for identical optima, DESIGN §8), so
+        # the sequential search stays the CPU default.
+        default_trials = "1" if jax.default_backend() == "cpu" else "8"
         return lbfgs_box_host(
             vagb,
             np.asarray(p0_norm, np.float64),
@@ -669,6 +834,8 @@ def make_stage_optimizer_host(
             tol=tol,
             history=history,
             f32=f32,
+            ls_trials=int(os.environ.get("ODEUQ_LS_TRIALS", default_trials)),
+            ls_width_cap=int(os.environ.get("ODEUQ_LS_WIDTH_CAP", "256")),
             progress=heartbeat,
             state_path=state_path,
             state_token=f"gamma={float(gamma):.17g}",

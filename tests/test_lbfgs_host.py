@@ -236,6 +236,129 @@ def test_stale_sidecar_discarded(tmp_path):
     assert _load_iter_state(str(tmp_path / "legacy.npz"), 10, 6, 2, fp_a) is not None
 
 
+def _counting(vg_b):
+    """Wraps a batched vg callable, recording every dispatch width."""
+    widths = []
+
+    def wrapped(x):
+        widths.append(len(x))
+        return vg_b(x)
+
+    return wrapped, widths
+
+
+def test_ladder_reaches_sequential_quality():
+    # The ladder search (K trials per dispatch) must reach the same optima
+    # as the sequential bracket/zoom search on curved valleys and boxes.
+    def obj(p):
+        a, b = 0.7, 10.0
+        return (p[0] - a) ** 2 + b * (p[1] - p[0] ** 2) ** 2
+
+    vg_b = _wrap(obj)
+    x0 = np.random.default_rng(11).uniform(0, 1, (8, 2))
+    res = lbfgs_box_host(vg_b, x0, f32=False, tol=1e-8, max_iter=400, ls_trials=8)
+    np.testing.assert_allclose(res.x[:, 0], 0.7, atol=1e-4)
+    np.testing.assert_allclose(res.x[:, 1], 0.49, atol=1e-4)
+
+    def obj2(p):
+        return jnp.sum((p - 2.0) ** 2)
+
+    res2 = lbfgs_box_host(
+        _wrap(obj2), np.full((4, 2), 0.5), f32=False, tol=1e-8, ls_trials=8
+    )
+    np.testing.assert_allclose(res2.x, 1.0, atol=1e-8)
+
+
+def test_ladder_dispatch_economy():
+    # The point of the ladder: far fewer dispatches than sequential search
+    # on problems whose cold lanes need many trial steps, and at most
+    # 1 + 3 dispatch rounds per iteration (round 0 single-trial + <=3
+    # ladder rounds, each chunked by the width cap).
+    def obj(p):
+        return (p[0] - 0.5) ** 2 + 100.0 * (p[1] - p[0] ** 2) ** 2
+
+    x0 = np.random.default_rng(12).uniform(0, 1, (16, 2))
+    seq_vg, seq_w = _counting(_wrap(obj))
+    lad_vg, lad_w = _counting(_wrap(obj))
+    r_seq = lbfgs_box_host(seq_vg, x0.copy(), f32=False, tol=1e-8, max_iter=200)
+    r_lad = lbfgs_box_host(
+        lad_vg, x0.copy(), f32=False, tol=1e-8, max_iter=200, ls_trials=8
+    )
+    assert np.allclose(r_lad.f, r_seq.f, atol=1e-6)
+    # dispatches-per-iteration: sequential pays one per line-search round,
+    # the ladder bounds it structurally.
+    seq_rate = len(seq_w) / max(r_seq.iters.max(), 1)
+    lad_rate = len(lad_w) / max(r_lad.iters.max(), 1)
+    assert lad_rate <= seq_rate + 1e-9, (seq_rate, lad_rate)
+
+
+def test_ladder_width_cap_chunks_and_matches():
+    # A small width cap forces the trial matrix into sequential chunks; the
+    # math must not change, and no dispatch may exceed max(cap, R)
+    # (power-of-2 padding of sub-batch chunks stays below R).
+    def obj(p):
+        return (p[0] - 0.6) ** 2 + 30.0 * (p[1] - p[0] ** 2) ** 2
+
+    x0 = np.random.default_rng(13).uniform(0, 1, (8, 2))
+    wide_vg, wide_w = _counting(_wrap(obj))
+    slim_vg, slim_w = _counting(_wrap(obj))
+    r_wide = lbfgs_box_host(
+        wide_vg, x0.copy(), f32=False, tol=1e-8, ls_trials=8, ls_width_cap=256
+    )
+    r_slim = lbfgs_box_host(
+        slim_vg, x0.copy(), f32=False, tol=1e-8, ls_trials=8, ls_width_cap=8
+    )
+    np.testing.assert_array_equal(r_wide.x, r_slim.x)
+    np.testing.assert_array_equal(r_wide.n_fev, r_slim.n_fev)
+    assert max(slim_w) <= 8
+    assert max(wide_w) <= 256
+
+
+def test_ladder_nan_wall():
+    def obj(p):
+        v = jnp.sum((p - 0.2) ** 2)
+        return jnp.where(p[0] > 0.8, jnp.nan, v)
+
+    vg_b = _wrap(obj)
+    x0 = np.array([[0.75, 0.3], [0.3, 0.3]])
+    res = lbfgs_box_host(vg_b, x0, f32=False, tol=1e-8, ls_trials=8)
+    assert np.isfinite(res.f).all()
+    np.testing.assert_allclose(res.x, 0.2, atol=1e-5)
+
+
+def test_ladder_mid_stage_resume(tmp_path):
+    # The ladder path shares the sidecar format; a killed ladder run must
+    # resume mid-stage and converge identically to a straight-through run.
+    def obj(p):
+        return (p[0] - 0.7) ** 2 + 10.0 * (p[1] - p[0] ** 2) ** 2
+
+    vg_b = _wrap(obj)
+    x0 = np.random.default_rng(14).uniform(0, 1, (6, 2))
+    sp = str(tmp_path / "state.npz")
+
+    class Stop(Exception):
+        pass
+
+    def killer(it, done):
+        if it >= 2:
+            raise Stop
+
+    with pytest.raises(Stop):
+        lbfgs_box_host(
+            vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400,
+            ls_trials=8, state_path=sp, progress=killer,
+        )
+    resumed = lbfgs_box_host(
+        vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400,
+        ls_trials=8, state_path=sp,
+    )
+    straight = lbfgs_box_host(
+        vg_b, x0.copy(), f32=False, tol=1e-8, max_iter=400, ls_trials=8
+    )
+    assert resumed.converged.all()
+    np.testing.assert_allclose(resumed.x, straight.x, atol=1e-6)
+
+
 def test_stage_optimizer_batched_nll_path():
     # nll_batched replaces the vmapped objective; results must match the
     # vmapped path exactly (same math, vjp-pulled per-lane gradients).
