@@ -804,12 +804,19 @@ def make_stage_optimizer_host(
 
         t0 = time.perf_counter()
 
+        first_it = [None]  # first callback index: marginal rate stays honest
+        # across a mid-stage resume (elapsed/(it+1) would average over
+        # iterations done by a previous process).
+
         def heartbeat(it, done):
+            if first_it[0] is None:
+                first_it[0] = it
             if progress_every and (it + 1) % progress_every == 0:
                 el = time.perf_counter() - t0
+                n = max(it + 1 - first_it[0], 1)
                 print(
                     f"    [lbfgs] iter {it + 1}/{max_iter}: {int((~done).sum())}/{len(done)} "
-                    f"lanes active, {el:.0f}s ({el / (it + 1):.1f}s/iter)",
+                    f"lanes active, {el:.0f}s ({el / n:.1f}s/iter)",
                     flush=True,
                 )
 
