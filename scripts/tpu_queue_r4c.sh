@@ -144,7 +144,11 @@ sleep 60
 # through the bucket-compacted ladder host L-BFGS, restart chunks of 256.
 say "north star: params/hodgkinhuxley2_r4 @ 1024 restarts"
 wait_bench
-STALL_S=2700 ATTEMPT_S=14400 bash babysit_estimation.sh \
+# ODEUQ_LS_WIDTH_CAP=512: at restart_chunk=256 the default 256 cap would
+# serialize the ladder's round-1 trial block into 8 full-width dispatches;
+# 512 is the known-safe width for plain (loop-free) scan programs on the
+# remote runtime (the >=1024 faults were vmapped-while programs).
+STALL_S=2700 ATTEMPT_S=14400 ODEUQ_LS_WIDTH_CAP=512 bash babysit_estimation.sh \
   params/hodgkinhuxley2_r4 /tmp/hh2r4_1k.log \
   --set num_random_runs=1024 --set restart_chunk=256 \
   --set output=../results/params/hodgkinhuxley2_r4_1k.h5
