@@ -40,6 +40,20 @@ def main(cfg) -> None:
     evaluate = make_trmse_evaluator(model, solver, spec, cfg.get("t0", 0.0), x0_raw, num_steps)
     vals, mean, std = evaluate(jnp.asarray(params_est, dtype))
     print(f"tRMSE={float(mean):.2f}±{float(std):.2f}")
+    # Persist alongside the estimates so artifacts are self-describing
+    # (results_inventory.py and the DESIGN tables read these back; additive
+    # keys keep the reference H5 schema intact).
+    from ode_uncertainty_tpu.utils.io import store_data
+
+    store_data(
+        {
+            "trmse_values": np.asarray(vals, np.float64),
+            "trmse_mean": np.float64(mean),
+            "trmse_std": np.float64(std),
+        },
+        src,
+        mode="a",
+    )
 
 
 if __name__ == "__main__":
