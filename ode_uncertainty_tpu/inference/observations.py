@@ -57,15 +57,23 @@ def make_obs_model(
     ys_raw: [T_obs, ...] raw states; projected through H after flattening
     trailing dims (parity: run_filter.py:112, ys = einsum('ij,tj->ti')).
 
-    The alignment tolerance defaults to step_size/4: matching within half a
-    step is unambiguous, and float32 time grids carry absolute errors far
-    above the reference's 1e-8 (which silently drops observations at f32).
+    The alignment tolerance defaults to a quarter of the FINER of the two
+    grids (solver step vs observation spacing): matching within half the
+    finer spacing is unambiguous, and float32 time grids carry absolute
+    errors far above the reference's 1e-8 (which silently drops
+    observations at f32). Scaling by the solver step alone breaks when the
+    observation grid is finer than the solver grid (e.g. the calibration
+    configs pair an h=0.01 filter with dt=1e-3 ground-truth observations,
+    /root/reference/configs/calibration_conrad_baseline/rkf45/vanderpol.yaml):
+    a step_size/4 window then matches several observation times per step.
     """
     H = jnp.asarray(H, dtype)
     ys_flat = jnp.asarray(ys_raw, dtype).reshape(len(ts_y), -1)
     ys = ys_flat @ H.T
     if tol is None:
-        tol = 0.25 * step_size
+        ts_y64 = np.asarray(ts_y, np.float64)
+        obs_spacing = np.min(np.diff(ts_y64)) if len(ts_y64) > 1 else np.inf
+        tol = 0.25 * min(step_size, obs_spacing)
     flags, index_map = build_observation_maps(
         t0, step_size, num_steps, np.asarray(ts_y, np.float64), tol=tol
     )

@@ -46,6 +46,15 @@ def make_trmse_evaluator(
             return trmse(traj_true, unroll_x(spec.to_params(spec.physical_to_opt(p_phys))))
 
         vals = jax.vmap(one)(params_phys)
-        return vals, jnp.mean(vals), jnp.std(vals, ddof=1)
+        # NaN-robust aggregation: diverged restarts re-simulate to NaN/Inf
+        # trajectories and would otherwise poison the summary (the reference
+        # tolerates this because its failed process-pool restarts return
+        # zero rows instead, run_parameter_estimation.py:657-667).
+        finite = jnp.isfinite(vals)
+        n = jnp.maximum(jnp.sum(finite), 1)
+        vals_f = jnp.where(finite, vals, 0.0)
+        mean = jnp.sum(vals_f) / n
+        var = jnp.sum(jnp.where(finite, (vals - mean) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
+        return vals, mean, jnp.sqrt(var)
 
     return evaluate

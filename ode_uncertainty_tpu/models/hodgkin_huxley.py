@@ -49,9 +49,24 @@ _SINGLE_DEFAULTS = dict(
 
 
 # --- channel rate constants (alpha/beta), vectorized in V ------------------
+def _expm1(x):
+    """Kahan's expm1: (e-1) * x / log(e) with e = exp(x).
+
+    Matches ``jnp.expm1`` to working precision in both f32 and f64 (the
+    x/log(e) factor cancels the exp(x)-1 rounding error for small |x|) while
+    using only primitives the Pallas TPU lowering supports — ``expm1``
+    itself has no Mosaic lowering, which broke the HH Pallas NLL kernel.
+    """
+    e = jnp.exp(x)
+    em1 = e - 1.0
+    # log(e) == 0 exactly iff e == 1, where the limit is x itself
+    safe = jnp.where(em1 == 0.0, 1.0, jnp.log(e))
+    return jnp.where(em1 == 0.0, x, em1 * x / jnp.where(em1 == 0.0, 1.0, safe))
+
+
 def _vtrap(x, scale):
     """x / expm1(x / scale): numerically stable rate-law denominator."""
-    return x / jnp.expm1(x / scale)
+    return x / _expm1(x / scale)
 
 
 def alpha_m(v, v_t):

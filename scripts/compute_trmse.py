@@ -39,7 +39,9 @@ def main(cfg) -> None:
     )
     evaluate = make_trmse_evaluator(model, solver, spec, cfg.get("t0", 0.0), x0_raw, num_steps)
     vals, mean, std = evaluate(jnp.asarray(params_est, dtype))
-    print(f"tRMSE={float(mean):.2f}±{float(std):.2f}")
+    n_fin = int(np.isfinite(np.asarray(vals)).sum())
+    suffix = "" if n_fin == len(np.asarray(vals)) else f" ({n_fin}/{len(np.asarray(vals))} runs finite)"
+    print(f"tRMSE={float(mean):.2f}±{float(std):.2f}{suffix}")
     # Persist alongside the estimates so artifacts are self-describing
     # (results_inventory.py and the DESIGN tables read these back; additive
     # keys keep the reference H5 schema intact).

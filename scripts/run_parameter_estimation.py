@@ -192,7 +192,9 @@ def optimize(cfg) -> None:
         "wall_clock_s": np.asarray(wall),
     }
     store_data(results, cfg["output"], mode="a")
-    best = int(np.argmin(results["nll_optims"][:, -1]))
+    final_nll = np.asarray(results["nll_optims"][:, -1], np.float64)
+    # diverged restarts leave NaN rows; pick the best finite one
+    best = int(np.nanargmin(np.where(np.isfinite(final_nll), final_nll, np.inf)))
     print(
         f"optimize: {p0.shape[0]} restarts x {len(gammas)} stages in {wall:.1f}s; "
         f"best NLL {results['nll_optims'][best, -1]:.3f} at "

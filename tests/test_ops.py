@@ -141,6 +141,26 @@ def test_build_observation_maps():
     np.testing.assert_array_equal(index_map[[1, 3, 5]], [0, 1, 2])
 
 
+def test_obs_model_tolerance_with_finer_observation_grid():
+    # Calibration configs pair an h=0.01 filter with dt=1e-3 gt observations
+    # (reference configs/calibration_conrad_baseline/rkf45/vanderpol.yaml); a
+    # step_size/4 tolerance matches several obs per step and used to raise.
+    from ode_uncertainty_tpu.inference import make_obs_model
+
+    h, dt, t0, tN = 0.01, 0.001, 10.0, 12.0
+    num_steps = int(round((tN - t0) / h))
+    # emulate an f32-accumulated stored time grid (small absolute error)
+    ts_y = (t0 + dt * np.arange(int(round((tN - t0) / dt)) + 1)).astype(np.float32)
+    ys = np.zeros((len(ts_y), 2, 1))
+    obs = make_obs_model(np.eye(2), ts_y, ys, 0.1, t0, h, num_steps)
+    flags = np.asarray(obs.flags)
+    # every solver step has exactly one matching observation
+    assert flags.sum() == num_steps
+    idx = np.asarray(obs.index_map)
+    # matched obs rows are the every-10th rows of the fine grid
+    np.testing.assert_array_equal(idx[flags], np.arange(1, num_steps + 1) * 10)
+
+
 def test_normalize_roundtrip():
     vals = {"a": jnp.array([1.0, 2.0]), "b": jnp.array(5.0)}
     mins = {"a": jnp.array([0.0, 0.0]), "b": jnp.array(0.0)}
