@@ -52,6 +52,9 @@ def probe_records():
         timeout=int(os.environ.get("ODEUQ_TPU_TEST_TIMEOUT", "2700")),
         cwd=str(REPO),
     )
+    # Persist the full probe output: the queue pipes pytest through tail -4,
+    # which has twice discarded the crosscheck failure details.
+    Path("/tmp/tpu_probe_pytest.out").write_text(out.stdout + "\n--- stderr ---\n" + out.stderr)
     records = {}
     for line in out.stdout.splitlines():
         try:
@@ -60,6 +63,7 @@ def probe_records():
             continue
         if isinstance(rec, dict) and "probe" in rec:
             records[rec["probe"]] = rec
+    Path("/tmp/tpu_probe_records.json").write_text(json.dumps(records, indent=1))
     assert records, f"probe produced no records; tail:\n{(out.stdout + out.stderr)[-2000:]}"
     return records
 
