@@ -50,9 +50,15 @@ SIDECAR = os.path.join(REPO, ".bench_cache.json")
 # (configs/experiments.py params/hodgkinhuxley11_full, params/lotkavolterra2).
 WORKLOADS = {
     # Batch default is re-probed per round (ODEUQ_BENCH_BATCH overrides):
-    # the >128-lane "TPU worker crashed" wall observed pre-SDIRK-rewrite no
-    # longer binds; grads measured healthy through 256 (DESIGN §7b).
-    "hh_full": dict(steps=10000, h=0.01, batch=256, tpu_reps=3, cpu_reps=3, cpu_steps=1000),
+    # the round-4 probe measured the xla implicit NLL+grad healthy and 17%
+    # faster at 512 vs 256; with the platform-aware HH expm1 (Kahan form on
+    # TPU, models/hodgkin_huxley.py:_expm1) the same kernel measures
+    # 1,688.3k steps/s at 512 (6.2x over the native-expm1 lowering) with
+    # identical numerics. The historical crash cells were xla_remat /
+    # vmapped-while programs, and measure_tpu halves the batch on any
+    # crashed attempt, so 512 degrades to the proven 256 rather than
+    # failing.
+    "hh_full": dict(steps=10000, h=0.01, batch=512, tpu_reps=3, cpu_reps=3, cpu_steps=1000),
     "lv": dict(steps=2000, h=0.01, batch=8192, tpu_reps=5, cpu_reps=3, cpu_steps=2000),
 }
 

@@ -14,8 +14,9 @@ TPU-first deltas vs the reference:
     per-compartment vectors, so the multi-compartment RHS is a single
     ``vmap`` over compartments instead of a ``lax.scan``
     (reference: src/ode/hodgkin_huxley.py:391-395);
-  * the exponential-divided-by-expm1 rate expressions use ``jnp.expm1`` for
-    f32 robustness near the removable singularity.
+  * the exponential-divided-by-expm1 rate expressions use a platform-aware
+    expm1 (native on CPU, Kahan's compensated form on TPU — see ``_expm1``)
+    for f32 robustness near the removable singularity.
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ _SINGLE_DEFAULTS = dict(
 
 
 # --- channel rate constants (alpha/beta), vectorized in V ------------------
-def _expm1(x):
+def _kahan_expm1(x):
     """Kahan's expm1: (e-1) * x / log(e) with e = exp(x).
 
     Matches ``jnp.expm1`` to working precision in both f32 and f64 (the
@@ -62,6 +63,25 @@ def _expm1(x):
     # log(e) == 0 exactly iff e == 1, where the limit is x itself
     safe = jnp.where(em1 == 0.0, 1.0, jnp.log(e))
     return jnp.where(em1 == 0.0, x, em1 * x / jnp.where(em1 == 0.0, 1.0, safe))
+
+
+def _expm1(x):
+    """Platform-aware expm1 for the HH rate laws (hot path).
+
+    Measured on the round-4 implicit NLL+grad bench kernel (identical
+    numerics verified both ways):
+      * TPU f32: the native ``expm1`` lowering is catastrophically slow
+        inside the Newton-stage RHS — the Kahan form is 6.2x faster
+        end-to-end (271.8k -> 1,688.3k filter-steps/s at batch 512);
+      * CPU f64: native ``expm1`` is the fast one (1669 vs 999 steps/s) —
+        the Kahan form pays exp+log where libm has a fused kernel.
+    The choice is made at trace time from the default backend; the Kahan
+    branch is also the only one the Pallas/Mosaic kernels can lower, and
+    TPU traces always take it.
+    """
+    if jax.default_backend() == "cpu":
+        return jnp.expm1(x)
+    return _kahan_expm1(x)
 
 
 def _vtrap(x, scale):
