@@ -15,7 +15,20 @@ regen() {
   local exp="$1" out="../results/$1.h5"
   if [ "$FORCE" = 1 ] || [ ! -f "$out" ]; then
     echo "=== $(date +%T) run_ode_solver $exp"
-    timeout 3600 python run_ode_solver.py --experiment "$exp" 2>&1 | tail -2
+    case "$exp" in
+      gt/*)
+        # Ground truth is f64 on CPU, matching the reference's x64 runs
+        # (reference scripts/run_ode_solver.py:10). The calibration family
+        # scores these trajectories at static noise levels down to 1e-16,
+        # where f32 solve drift (~1e-3 rel over 1e6 steps) would dominate.
+        timeout 3600 env ODEUQ_PLATFORM=cpu python run_ode_solver.py \
+          --experiment "$exp" --set float64=true 2>&1 | tail -2 ;;
+      *)
+        # noise_gt stays on the default backend/dtype: the committed
+        # estimation artifacts were optimized against exactly these bytes
+        # (they are git-tracked; regen here is a last-resort fallback).
+        timeout 3600 python run_ode_solver.py --experiment "$exp" 2>&1 | tail -2 ;;
+    esac
   else
     echo "=== $exp exists, skipping"
   fi
