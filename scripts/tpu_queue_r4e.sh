@@ -67,14 +67,18 @@ if [ -f /tmp/tpu_probe_records.json ]; then
 fi
 sleep 60
 
-# 2a. remaining calibration points
+# 2a. calibration points — ALL 8: the four committed sweeps were scored
+# against the old f32 gt trajectories; gt/ is now f64 (commit d8f854b), so
+# the whole family is re-run against the corrected observations.
 for exp in calibration/dopri65/vanderpol calibration/dopri65/lorenz \
-           calibration/dopri65/lcao calibration/rkf45/lotkavolterra; do
+           calibration/dopri65/lcao calibration/rkf45/lotkavolterra \
+           calibration/rkf45/lorenz calibration/rkf45/vanderpol \
+           calibration/rkf45/lcao calibration/dopri65/lotkavolterra; do
   say "run_calibration $exp"
   run_step 3600 python run_calibration.py --experiment "$exp"
   sleep 30
 done
-commit_results "Artifacts: remaining calibration sweeps (full 8/8 family)"
+commit_results "Artifacts: full calibration family (8/8) on f64 ground truth"
 
 # 2b. remaining EKF/PF trajectory points
 for exp in ekf_trajectory/dopri65/lorenz pf_trajectory/dopri65/lorenz \
