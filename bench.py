@@ -139,6 +139,9 @@ def _build(workload, dtype_str, batch, steps=None):
     # The explicit LV workload runs the fused Pallas kernel on TPU (the
     # hand-scheduled forward + recompute backward, ops/pallas_ekf.py); set
     # ODEUQ_LV_IMPL=xla to measure the lax.scan/checkpoint path instead.
+    # Default justified by the round-5 f64 oracle (results/probe_r5.json,
+    # DESIGN §11c): the kernel's gradients are MORE accurate vs f64 than the
+    # XLA path's on the worst-disagreement lanes, and it is 19x faster.
     # The implicit HH workload defaults to the XLA path; ODEUQ_HH_IMPL=pallas
     # selects the fused SDIRK kernel (same kernel family, Kvaerno3 tile step).
     impl = os.environ.get(

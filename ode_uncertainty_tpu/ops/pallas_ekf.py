@@ -51,6 +51,13 @@ TILE = TILE_S * TILE_L
 # reached via DMA (tests lower it to force the HBM path on small problems).
 _VMEM_SNAP_LIMIT = 6 * 1024 * 1024
 
+# Mosaic's default *scoped*-VMEM budget is 16 MiB; the implicit (SDIRK)
+# backward kernel's on-chip jax.vjp of a d-step Newton interval needs ~24 MiB
+# of compiler scratch (measured: round-5 HH probe died at 23.52M vs 16.00M).
+# v5e has 128 MiB of VMEM per core — raise the cap; codegen for kernels that
+# fit the default (the explicit/LV family) is unchanged.
+_SCOPED_VMEM_LIMIT = 96 * 1024 * 1024
+
 _EPS_GUARD = lambda dtype: (4.0 * jnp.finfo(dtype).eps) ** 2
 
 
@@ -876,6 +883,9 @@ def make_nll_pallas(
                 (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((g_tiles, TILE_S, TILE_L), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_SCOPED_VMEM_LIMIT
+            ),
             interpret=interpret,
         )(phys_t, ys_const, gamma_arr)
 
@@ -924,6 +934,9 @@ def make_nll_pallas(
                 ]
                 if use_hbm_snap
                 else [pltpu.VMEM((n_obs, rows_snap, TILE_S, TILE_L), dtype)]
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_SCOPED_VMEM_LIMIT
             ),
             interpret=interpret,
         )(phys_t, ys_const, gamma_arr, g_t)[:2]

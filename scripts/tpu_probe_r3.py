@@ -68,11 +68,47 @@ def probe_verify():
     print(json.dumps({"probe": "verify_tpu", "lv_final": xf.tolist(), "hh_vmax": vmax, "ok": True}), flush=True)
 
 
+def _lane_errs(vx, vp, gx, gp):
+    """Per-LANE error metrics between two f32 paths, as quantile dicts.
+
+    Normalization is by each lane's own gradient scale (max |component|),
+    not per component: the round-4 per-component metric scored a lane with
+    one O(1e-3) component next to an O(1e4) one as a "6.1x" error. The
+    round-5 f64 oracle (results/probe_r5.json, scripts/tpu_probe_r5.py
+    --mode oracle) showed that on exactly those worst lanes the Pallas
+    kernel was the MORE accurate path (grad err vs f64: pallas 2.1e-3 max
+    vs xla 6.3e-2) — the f32-vs-f32 disagreement tail is dominated by the
+    XLA path's own checkpoint/chunk-schedule divergence, so the headline
+    assertion metric is the p99, with a looser bound on the max."""
+    vx, vp = np.asarray(vx, np.float64), np.asarray(vp, np.float64)
+    gx, gp = np.asarray(gx, np.float64), np.asarray(gp, np.float64)
+    # NaN-aware: random HH-full parameter draws legitimately diverge on some
+    # lanes (the filter saturates; the f64 oracle confirms entry NaN — DESIGN
+    # §11d), in which case BOTH paths must flag the lane. Errors are compared
+    # on the jointly finite lanes; finiteness-mask disagreement is reported
+    # separately and asserted in tests/test_tpu_hardware.py.
+    fin_x = np.isfinite(vx) & np.isfinite(gx).all(axis=1)
+    fin_p = np.isfinite(vp) & np.isfinite(gp).all(axis=1)
+    both = fin_x & fin_p
+    err_v = np.abs(vx[both] - vp[both]) / (np.abs(vx[both]) + 1.0)
+    err_g = (np.abs(gx[both] - gp[both]).max(axis=1)
+             / (np.abs(gx[both]).max(axis=1) + 1e-3))
+    return {
+        "rel_err_val": float(np.quantile(err_v, 0.99)),
+        "rel_err_grad": float(np.quantile(err_g, 0.99)),
+        "rel_err_val_max": float(err_v.max()),
+        "rel_err_grad_max": float(err_g.max()),
+        "lanes": int(vx.size),
+        "finite_xla": int(fin_x.sum()),
+        "finite_pallas": int(fin_p.sum()),
+        "finite_mask_mismatch": int((fin_x != fin_p).sum()),
+    }
+
+
 def probe_lv(batch=8192):
     import os
 
     import jax
-    import jax.numpy as jnp
 
     steps = 2000
     # numerical cross-check pallas vs xla at small batch
@@ -80,11 +116,9 @@ def probe_lv(batch=8192):
     fn_x, p_x, _ = _bench_build("lv", 1024)
     os.environ["ODEUQ_LV_IMPL"] = "pallas"
     fn_p, p_p, _ = _bench_build("lv", 1024)
-    vx, gx = fn_x(p_x)
-    vp, gp = fn_p(p_p)
-    err_v = float(jnp.max(jnp.abs(vx - vp) / (jnp.abs(vx) + 1.0)))
-    err_g = float(jnp.max(jnp.abs(gx - gp) / (jnp.abs(gx) + 1e-3)))
-    print(json.dumps({"probe": "lv_crosscheck", "rel_err_val": err_v, "rel_err_grad": err_g}), flush=True)
+    vx, gx = jax.block_until_ready(fn_x(p_x))
+    vp, gp = jax.block_until_ready(fn_p(p_p))
+    print(json.dumps({"probe": "lv_crosscheck", **_lane_errs(vx, vp, gx, gp)}), flush=True)
 
     for impl in ("xla", "pallas"):
         os.environ["ODEUQ_LV_IMPL"] = impl
@@ -127,13 +161,12 @@ def probe_hh_pallas_crosscheck(num_steps=200, batch=1024):
         return vals, vjp(jnp.ones_like(vals))[0]
 
     vals_pl, g_pl = vg_pl(p0)
-    err_v = float(jnp.max(jnp.abs(vals_ref - vals_pl) / (jnp.abs(vals_ref) + 1.0)))
-    err_g = float(jnp.max(jnp.abs(g_ref - g_pl) / (jnp.abs(g_ref) + 1e-2)))
+    errs = _lane_errs(vals_ref, vals_pl, g_ref, g_pl)
     dt_ref = _time(vg_ref, p0, reps=3)
     dt_pl = _time(vg_pl, p0, reps=3)
     print(json.dumps({
         "probe": "hh_pallas_crosscheck", "steps": n_steps, "batch": batch,
-        "rel_err_val": err_v, "rel_err_grad": err_g,
+        **errs,
         "xla_steps_per_sec": round(n_steps * batch / dt_ref, 0),
         "pallas_steps_per_sec": round(n_steps * batch / dt_pl, 0),
     }), flush=True)

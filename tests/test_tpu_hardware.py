@@ -29,12 +29,20 @@ pytestmark = pytest.mark.tpu
 
 REPO = Path(__file__).resolve().parent.parent
 
-# f32 same-math/different-schedule envelopes. Values accumulate over the
-# full filter horizon; gradients additionally pass through the QR pullback,
-# hence the wider bound (matches the interpret-mode tolerances in
-# test_pallas_ekf.py).
+# f32 same-math/different-schedule envelopes, per-LANE normalized (each
+# lane's error over its own gradient scale) with a p99 headline + a looser
+# max bound. Round-4's per-component max metric scored a lane with one
+# O(1e-3) gradient component next to an O(1e4) one as a "6.1x" error; the
+# round-5 f64 oracle (results/probe_r5.json, scripts/tpu_probe_r5.py
+# --mode oracle) showed the Pallas kernel was the MORE accurate path on
+# exactly those lanes (grad err vs f64: pallas <=2.1e-3, xla up to 6.3e-2)
+# — the crosscheck tail is the XLA path's own checkpoint/chunk-schedule f32
+# divergence, so the max bound is set to bound the XLA side's oracle error,
+# not the kernel's.
 VAL_RTOL = 5e-3
 GRAD_RTOL = 5e-2
+VAL_RTOL_MAX = 2e-2
+GRAD_RTOL_MAX = 1.5e-1
 
 
 @pytest.fixture(scope="module")
@@ -74,17 +82,26 @@ def test_tpu_sanity_solves(probe_records):
     assert rec["hh_vmax"] > 0.0  # HH spikes under stimulus
 
 
+def _assert_crosscheck(rec):
+    assert "error" not in rec, rec
+    assert rec["rel_err_val"] < VAL_RTOL, rec            # p99, jointly finite
+    assert rec["rel_err_grad"] < GRAD_RTOL, rec          # p99, jointly finite
+    assert rec["rel_err_val_max"] < VAL_RTOL_MAX, rec
+    assert rec["rel_err_grad_max"] < GRAD_RTOL_MAX, rec
+    # Random HH-full draws legitimately diverge on some lanes (DESIGN §11d);
+    # both paths must flag the same lanes, modulo a small f32
+    # schedule-difference boundary band.
+    assert rec["finite_mask_mismatch"] <= 0.02 * rec["lanes"], rec
+    assert rec["finite_xla"] > 0.5 * rec["lanes"], rec
+
+
 def test_lv_pallas_matches_xla(probe_records):
     rec = probe_records.get("lv_crosscheck")
     assert rec is not None, sorted(probe_records)
-    assert "error" not in rec, rec
-    assert rec["rel_err_val"] < VAL_RTOL, rec
-    assert rec["rel_err_grad"] < GRAD_RTOL, rec
+    _assert_crosscheck(rec)
 
 
 def test_hh_implicit_pallas_matches_xla(probe_records):
     rec = probe_records.get("hh_pallas_crosscheck")
     assert rec is not None, sorted(probe_records)
-    assert "error" not in rec, rec
-    assert rec["rel_err_val"] < VAL_RTOL, rec
-    assert rec["rel_err_grad"] < GRAD_RTOL, rec
+    _assert_crosscheck(rec)
